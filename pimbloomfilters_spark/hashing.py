@@ -1,0 +1,74 @@
+"""Vectorized 64-bit hashing (numpy) — the engine's only hash family.
+
+The reference derives k Bloom indexes from a seeded shift/xor/add chain
+(``src/bloom_filter.hpp:288-299`` with a 10-entry seed table at
+``src/bloom_filter.hpp:271-282``) plus a cheap secondary hash
+(``simplehash16_64``, ``src/bloom_filter.hpp:301-307``). Per the north rule we
+replace that with xxhash-family **double hashing** (Kirsch–Mitzenmacher:
+``g_i = h1 + i*h2``), which needs only two independent 64-bit hashes per key.
+
+``xxh64_u64`` below is the exact XXH64 algorithm specialised to an 8-byte
+little-endian integer input, fully vectorized over numpy uint64 arrays. It is
+bit-identical to Spark's ``F.xxhash64`` on LongType columns (verified in
+tests/test_hashing.py against the JVM implementation), which gives us a
+JVM-side oracle for the Python hash path and lets SQL-side expressions
+(`repartition(n, xxhash64(col))`) agree with UDF-side routing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+
+DEFAULT_SEED = 42  # Spark's XxHash64 default seed
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def xxh64_u64(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """XXH64 of each value's 8-byte little-endian encoding. uint64 in/out.
+
+    Matches org.apache.spark.sql.catalyst.expressions.XxHash64 on LongType.
+    """
+    x = np.ascontiguousarray(values, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.uint64(seed) + _P5 + np.uint64(8)
+        k1 = x * _P2
+        k1 = _rotl(k1, 31)
+        k1 = k1 * _P1
+        acc = acc ^ k1
+        acc = _rotl(acc, 27) * _P1 + _P4
+        # avalanche
+        acc ^= acc >> np.uint64(33)
+        acc *= _P2
+        acc ^= acc >> np.uint64(29)
+        acc *= _P3
+        acc ^= acc >> np.uint64(32)
+    return acc
+
+
+def double_hashes(values: np.ndarray, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) for Kirsch–Mitzenmacher double hashing; h2 forced odd so the
+    probe sequence cycles through any power-of-two range."""
+    h1 = xxh64_u64(values, seed)
+    h2 = xxh64_u64(values, seed + 0x9E37) | np.uint64(1)
+    return h1, h2
+
+
+def splitmix64(values: np.ndarray) -> np.ndarray:
+    """Cheap auxiliary mixer (public-domain splitmix64 finalizer)."""
+    z = np.ascontiguousarray(values, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z

@@ -1,0 +1,147 @@
+"""Distributed sketch build: per-partition partials + associative merge.
+
+This is the Spark re-expression of the reference's flagship path,
+``PimBloomFilter::insert_bulk`` (``src/pim_bloom_filter.cpp:100-212``):
+
+  reference                                  | here
+  -------------------------------------------+--------------------------------
+  host worker threads slice the input        | Spark partitions of the DataFrame
+  hash dispatch item -> (rank, DPU)          | not needed: merge is assoc/comm,
+    (``src/pim_bloom_filter.cpp:29-43``)     | any partitioning works
+  2^11-item DPU buckets, async launches      | Arrow batches inside mapInPandas
+  16 tasklet sub-filters + mutexes           | one numpy sketch per partition,
+    (``src/dpu/bloom_filters_dpu.cpp:100``)  | single writer, no locks
+  gather + deterministic-order serialize     | partials sorted by partition_id,
+    (``src/pim_bloom_filter.cpp:379-396``)   | then OR/add/max-merged
+
+Partial sketches are small (KB..MB); the default merge collects them and folds
+on the driver (fine to ~1k partitions). ``distributed_merge=True`` switches to
+an RDD ``treeReduce`` so the reduction itself is cluster-parallel — the path
+you'd use at 10^12 rows with tens of thousands of partitions.
+
+Per-partition lineage/metrics (rows, values, build_ms) ride along with every
+partial — they feed the checkpoint table (see operators/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+
+from ..sketches import Sketch, sketch_from_bytes
+
+PARTIAL_SCHEMA = (
+    "partition_id int, sketch binary, n_rows long, n_values long, build_ms double"
+)
+
+
+def flatten_numeric(series: pd.Series) -> np.ndarray:
+    """Flatten a pandas column that is either numeric scalars or
+    array<int>/array<long> (Arrow lists arrive as ndarray/list elements)
+    into one int64 vector. Nulls/empties dropped. Vectorized per batch."""
+    if len(series) == 0:
+        return np.empty(0, dtype=np.int64)
+    first = None
+    for v in series:
+        if v is not None:
+            first = v
+            break
+    if first is None:
+        return np.empty(0, dtype=np.int64)
+    if isinstance(first, (np.ndarray, list, tuple)):
+        chunks = [np.asarray(a, dtype=np.int64) for a in series
+                  if a is not None and len(a) > 0]
+        if not chunks:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(chunks)
+    return series.dropna().to_numpy(dtype=np.int64)
+
+
+def build_partials(df: DataFrame, col: str, make: Callable[[], Sketch]) -> DataFrame:
+    """One sketch partial per input partition: DataFrame[PARTIAL_SCHEMA].
+
+    ``make`` must be a picklable zero-arg factory (e.g.
+    ``functools.partial(make_sketch, "bloom", size2=24, nb_hash=8)``).
+    """
+
+    def _partials(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        t0 = time.perf_counter()
+        sk = make()
+        n_rows = 0
+        n_values = 0
+        for pdf in batches:
+            values = flatten_numeric(pdf[col])
+            sk.insert_bulk(values)
+            n_rows += len(pdf)
+            n_values += int(values.size)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "sketch": [sk.to_bytes()],
+                "n_rows": [n_rows],
+                "n_values": [n_values],
+                "build_ms": [(time.perf_counter() - t0) * 1000.0],
+            }
+        )
+
+    return df.select(col).mapInPandas(_partials, schema=PARTIAL_SCHEMA)
+
+
+def merge_partial_rows(rows) -> tuple[Sketch, dict]:
+    """Driver-side fold of collected partial rows (deterministic order:
+    sorted by partition_id, mirroring the reference's sequential gather at
+    ``src/pim_bloom_filter.cpp:388-394``). Returns (sketch, metrics)."""
+    rows = sorted(rows, key=lambda r: r["partition_id"])
+    if not rows:
+        raise ValueError("no partials to merge (empty input DataFrame?)")
+    sk = sketch_from_bytes(rows[0]["sketch"])
+    for r in rows[1:]:
+        sk.merge(sketch_from_bytes(r["sketch"]))
+    metrics = {
+        "n_partitions": len(rows),
+        "n_rows": int(sum(r["n_rows"] for r in rows)),
+        "n_values": int(sum(r["n_values"] for r in rows)),
+        "build_ms_max": float(max(r["build_ms"] for r in rows)),
+        "build_ms_sum": float(sum(r["build_ms"] for r in rows)),
+    }
+    return sk, metrics
+
+
+def build_sketch(
+    df: DataFrame,
+    col: str,
+    make: Callable[[], Sketch],
+    distributed_merge: bool = False,
+    tree_depth: int = 2,
+) -> tuple[Sketch, dict]:
+    """Build one logical sketch over ``df[col]`` (scalar numeric or array<int>).
+
+    distributed_merge=False: collect partials (small blobs) + driver fold.
+    distributed_merge=True: RDD treeReduce — merge work stays on executors;
+    use when partition count is large enough that a driver fold is the
+    bottleneck (the 10^12-row configuration).
+    """
+    partials = build_partials(df, col, make)
+    if not distributed_merge:
+        return merge_partial_rows(partials.collect())
+
+    def _merge_bytes(a: bytes, b: bytes) -> bytes:
+        sa = sketch_from_bytes(a)
+        sa.merge(sketch_from_bytes(b))
+        return sa.to_bytes()
+
+    blob = (
+        partials.select("sketch").rdd.map(lambda r: bytes(r[0]))
+        .treeReduce(_merge_bytes, depth=tree_depth)
+    )
+    stats = partials.groupBy().sum("n_rows", "n_values").collect()[0]
+    return sketch_from_bytes(blob), {
+        "n_rows": int(stats[0]), "n_values": int(stats[1]),
+    }

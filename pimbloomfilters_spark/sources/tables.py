@@ -1,0 +1,99 @@
+"""Table loaders + the deterministic token-table derivation.
+
+The north-rule input shape is ``(doc_id string, tokens array<int32>,
+n_tok int32, source string)`` (BASELINE.json:input_hint). The sandbox
+testdata ships a raw ``documents`` table (doc_id, text, lang, source,
+n_chars); we derive the token table from it with a vocabulary mapping that is
+*expressible identically in Spark SQL and DuckDB SQL*, so the driver's oracle
+can reproduce it exactly:
+
+    word  -> token_id = row_number() over (order by word)   (dense, 1-based)
+    tokens = per-doc words in position order, mapped through the vocab
+
+At 100 TB this derivation is exactly a broadcast-dim join: the vocabulary is
+tiny relative to the corpus, Catalyst broadcasts it, and the scan stays
+embarrassingly parallel — no shuffle of the big side (verified via
+``.explain()`` in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, token_id) — deterministic dense ids, 1-based, ordered by word."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    return words.withColumn(
+        "token_id", F.row_number().over(Window.orderBy("word")).cast("int")
+    )
+
+
+def tokens_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, pos, token_id) — one row per token occurrence.
+    pos is 1-based to match the DuckDB oracle's generate_series(1, len)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocab_table(spark, sf_dir)
+    words = docs.select(
+        "doc_id", "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).withColumn("pos", (F.col("pos0") + 1).cast("int")).drop("pos0")
+    # vocab is tiny -> explicit broadcast: the big side never shuffles
+    return words.join(F.broadcast(vocab), "word").select(
+        "doc_id", "source", "pos", "token_id"
+    )
+
+
+def token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint table: (doc_id, tokens array<int>, n_tok int, source)."""
+    tok = tokens_exploded(spark, sf_dir)
+    return (
+        tok.groupBy("doc_id", "source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("tokens")
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "tokens", "n_tok", "source",
+        )
+    )
+
+
+# DuckDB CTE producing the identical (doc_id, source, pos, token_id) rows —
+# prepended to every oracle query that consumes derived tokens.
+TOKENS_ORACLE_CTE = """
+WITH docs AS (
+  SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents
+),
+words AS (
+  SELECT d.doc_id, d.source, g.pos, d.arr[g.pos] AS word
+  FROM docs d, LATERAL (SELECT unnest(generate_series(1, len(d.arr))) AS pos) g
+),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY word) AS INT) AS token_id
+  FROM (SELECT DISTINCT word FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents))
+),
+tok AS (
+  SELECT w.doc_id, w.source, CAST(w.pos AS INT) AS pos, v.token_id
+  FROM words w JOIN vocab v USING (word)
+)
+"""
+
+
+def token_table_oracle_cte() -> str:
+    return TOKENS_ORACLE_CTE

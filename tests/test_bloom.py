@@ -1,0 +1,117 @@
+"""Blocked Bloom invariants — the reference's own test grid re-expressed
+(tests/unit_test1.cpp:25-116, unit_test2.cpp:26-145): size2 x nb_hash x
+partition-count sections; weight/no-FN/FPR/order/serialize invariants."""
+
+import numpy as np
+import pytest
+
+from pimbloomfilters_spark.sketches import BlockedBloomFilter, sketch_from_bytes
+
+NB_ITEMS = 10_000  # mirrors NB_ITEMS at tests/unit_test1.cpp:15
+NB_NEG = 1_000     # mirrors NB_NO_ITEMS at tests/unit_test1.cpp:16
+
+GRID = [(size2, k) for size2 in (16, 24) for k in (1, 4, 8)]
+
+
+def _items(n=NB_ITEMS):
+    return np.arange(n, dtype=np.int64)  # sequential keys, tests/tests_utils.hpp:13-20
+
+
+def _negatives(n=NB_NEG):
+    return np.arange(NB_ITEMS, NB_ITEMS + n, dtype=np.int64)
+
+
+@pytest.mark.parametrize("size2,k", GRID)
+def test_reference_invariant_grid(size2, k):
+    bf = BlockedBloomFilter(size2=size2, nb_hash=k)
+    # fresh filter: weight 0 (unit_test1.cpp:59-61)
+    assert bf.get_weight() == 0
+    # one insert: 0 < weight <= k (unit_test1.cpp:63-68)
+    bf.insert(7)
+    w1 = bf.get_weight()
+    assert 0 < w1 <= k
+    assert bf.contains(7)
+    # idempotent re-insert (unit_test1.cpp:73-76)
+    bf.insert(7)
+    assert bf.get_weight() == w1
+    # bulk no-false-negatives on shuffled probes (unit_test1.cpp:78-85)
+    items = _items()
+    bf.insert_bulk(items)
+    rng = np.random.default_rng(42)
+    shuffled = rng.permutation(items)
+    assert bf.contains_bulk(shuffled).all()
+    # FPR sanity (unit_test1.cpp:87-96): warn threshold 0.5 in the reference;
+    # we assert against the blocked-Bloom theoretical bound with slack
+    fpr = bf.contains_bulk(_negatives()).mean()
+    bound = bf.theoretical_fpr_bound(NB_ITEMS)
+    assert fpr <= min(1.0, 3 * bound + 0.02), (fpr, bound)
+
+
+def test_probe_order_preserved():
+    # unit_test1.cpp:98-106 — results align with input order, both directions
+    bf = BlockedBloomFilter(size2=16, nb_hash=4)
+    bf.insert(1)
+    pos_neg = bf.contains_bulk(np.array([1, 100], dtype=np.int64))
+    neg_pos = bf.contains_bulk(np.array([100, 1], dtype=np.int64))
+    assert pos_neg.tolist() == [True, False]
+    assert neg_pos.tolist() == [False, True]
+
+
+def test_serialize_restore_roundtrip():
+    # unit_test1.cpp:108-116 — get_data/set_data preserves weight + no-FN
+    bf = BlockedBloomFilter(size2=20, nb_hash=8)
+    bf.insert_bulk(_items())
+    blob = bf.to_bytes()
+    bf2 = sketch_from_bytes(blob)
+    assert isinstance(bf2, BlockedBloomFilter)
+    assert bf2.get_weight() == bf.get_weight()
+    assert bf2.contains_bulk(_items()).all()
+    # raw payload path (reference get_data/set_data)
+    bf3 = BlockedBloomFilter(size2=20, nb_hash=8)
+    bf3.set_data(bf.get_data())
+    assert bf3.get_weight() == bf.get_weight()
+
+
+def test_merge_assoc_comm():
+    a = _items(5000)
+    b = np.arange(5000, 10000, dtype=np.int64)
+    c = np.arange(10000, 15000, dtype=np.int64)
+
+    def build(vals):
+        bf = BlockedBloomFilter(size2=20, nb_hash=4)
+        bf.insert_bulk(vals)
+        return bf
+
+    ab_c = build(a).merge(build(b)).merge(build(c))
+    c_ba = build(c).merge(build(b)).merge(build(a))
+    one = build(np.concatenate([a, b, c]))
+    assert ab_c.payload() == c_ba.payload() == one.payload()
+
+
+def test_geometry_validation():
+    with pytest.raises(ValueError):
+        BlockedBloomFilter(size2=2, nb_hash=1)   # size2 >= 3 (hpp:31-36)
+    with pytest.raises(ValueError):
+        BlockedBloomFilter(size2=16, nb_hash=0)  # nb_hash >= 1
+    with pytest.raises(ValueError):
+        BlockedBloomFilter(size2=16, nb_hash=10)  # nb_hash < 10 (hpp:272-274)
+
+
+def test_blocked_locality():
+    # all k bits of one item land inside a single 4096-bit block
+    bf = BlockedBloomFilter(size2=24, nb_hash=8)
+    pos = bf._positions(np.arange(1000, dtype=np.int64)).reshape(-1, 8)
+    blocks = pos // bf.block_bits
+    assert (blocks == blocks[:, :1]).all()
+
+
+def test_fpr_within_blocked_bound_sweep():
+    # FPR-vs-bound across the reference bench geometry (scaled down):
+    # n/m ratio like m=2^32,n=100M -> ratio ~0.023 items/bit
+    n = 200_000
+    bf = BlockedBloomFilter(size2=23, nb_hash=8)  # 8.4M bits, ratio 0.024
+    bf.insert_bulk(np.arange(n, dtype=np.int64))
+    neg = np.arange(10_000_000, 10_100_000, dtype=np.int64)
+    fpr = bf.contains_bulk(neg).mean()
+    bound = bf.theoretical_fpr_bound(n)
+    assert fpr <= 2.0 * bound + 1e-4, (fpr, bound)

@@ -1,0 +1,139 @@
+"""End-to-end Spark build/probe: the flagship slice (SURVEY.md §7 Phase 1)."""
+
+import functools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pimbloomfilters_spark.operators import (
+    build_sketch,
+    probe_array_column,
+    probe_key_column,
+    salted_repartition,
+)
+from pimbloomfilters_spark.operators.probe import cms_count_column
+from pimbloomfilters_spark.sketches import BlockedBloomFilter, make_sketch
+from pimbloomfilters_spark.sources import generate_token_sequences, token_table
+
+bloom24 = functools.partial(make_sketch, "bloom", size2=24, nb_hash=8)
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    df = generate_token_sequences(spark, 2_000, num_partitions=8).cache()
+    df.count()
+    return df
+
+
+def test_build_probe_no_false_negatives(spark, tokens_df):
+    sk, metrics = build_sketch(tokens_df, "tokens", bloom24)
+    assert metrics["n_rows"] == 2_000
+    probed = probe_array_column(tokens_df, sk, "tokens")
+    # zero false negatives: every element of every row's tokens is a member
+    bad = probed.filter(F.exists("member", lambda m: ~m)).count()
+    assert bad == 0
+    # per-row invariant: tokens array passes through unchanged & aligned
+    row = probed.select("tokens", "member").first()
+    assert len(row["tokens"]) == len(row["member"])
+
+
+def test_build_matches_single_node(spark, tokens_df):
+    """Distributed build == one-shot local build, byte-identical (the merge
+    replaces the reference's rank/DPU sharding without changing the filter)."""
+    sk, _ = build_sketch(tokens_df, "tokens", bloom24)
+    local = bloom24()
+    all_tokens = np.concatenate(
+        [np.asarray(r["tokens"], dtype=np.int64) for r in tokens_df.collect()]
+    )
+    local.insert_bulk(all_tokens)
+    assert sk.payload() == local.payload()
+
+
+def test_partitioning_invariance(spark, tokens_df):
+    """Permuted/re-partitioned input -> identical sketch bytes (SURVEY §5c)."""
+    a, _ = build_sketch(tokens_df.repartition(3), "tokens", bloom24)
+    b, _ = build_sketch(tokens_df.repartition(13, "source"), "tokens", bloom24)
+    c, _ = build_sketch(salted_repartition(tokens_df, ["source"], buckets=4,
+                                           salt_on="doc_id"), "tokens", bloom24)
+    assert a.payload() == b.payload() == c.payload()
+
+
+def test_distributed_merge_path(spark, tokens_df):
+    a, _ = build_sketch(tokens_df, "tokens", bloom24)
+    b, _ = build_sketch(tokens_df, "tokens", bloom24, distributed_merge=True)
+    assert a.payload() == b.payload()
+
+
+def test_probe_key_column_semijoin(spark, sf_dir):
+    """Bloom as a runtime semi-join filter: build over orders.o_custkey, probe
+    customer.c_custkey; no false negatives vs the exact semi-join."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sk, _ = build_sketch(orders, "o_custkey", bloom24)
+    probed = probe_key_column(customer, sk, "c_custkey")
+    truth = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey", "left_semi",
+    ).select("c_custkey")
+    # every true member must be flagged (no FN)
+    missed = truth.join(
+        probed.filter(~F.col("member")).select("c_custkey"), "c_custkey", "inner"
+    ).count()
+    assert missed == 0
+
+
+def test_hll_over_doc_ids(spark, tokens_df):
+    hashed = tokens_df.select(F.xxhash64("doc_id").alias("h"))
+    sk, _ = build_sketch(hashed, "h", functools.partial(make_sketch, "hll", p=14))
+    est = sk.estimate()
+    assert abs(est - 2000) <= 4 * sk.relative_error() * 2000
+
+
+def test_cms_heavy_hitters(spark, tokens_df):
+    sk, _ = build_sketch(
+        tokens_df, "tokens",
+        functools.partial(make_sketch, "cms", eps=1e-4, delta=1e-3),
+    )
+    exact = (
+        tokens_df.select(F.explode("tokens").alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count")).limit(10).collect()
+    )
+    tops = np.array([r["t"] for r in exact], dtype=np.int64)
+    true_counts = np.array([r["count"] for r in exact])
+    est = sk.query_bulk(tops)
+    assert (est >= true_counts).all()
+    assert (est <= true_counts + sk.eps * sk.total).all()
+    # column-wise point estimates
+    df = spark.createDataFrame([(int(t),) for t in tops], "t long")
+    rows = cms_count_column(df, sk, "t").collect()
+    assert all(r["est_count"] >= tc for r, tc in zip(rows, true_counts.tolist()))
+
+
+def test_kll_ntok_quantiles(spark, tokens_df):
+    sk, _ = build_sketch(
+        tokens_df, "n_tok", functools.partial(make_sketch, "kll", k=200)
+    )
+    exact = sorted(r["n_tok"] for r in tokens_df.select("n_tok").collect())
+    n = len(exact)
+    for q in (0.25, 0.5, 0.75):
+        est = sk.quantile(q)
+        lo = np.searchsorted(exact, est, side="left")
+        hi = np.searchsorted(exact, est, side="right")
+        band = sk.rank_error() * n + 1
+        assert lo - band <= q * n <= hi + band
+
+
+def test_token_table_derivation(spark, sf_dir):
+    tt = token_table(spark, sf_dir)
+    row = tt.first()
+    assert row["n_tok"] == len(row["tokens"])
+    assert all(t >= 1 for t in row["tokens"])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert tt.count() == docs.count()
+
+
+def test_generator_partitioning_independent(spark):
+    a = generate_token_sequences(spark, 500, num_partitions=2)
+    b = generate_token_sequences(spark, 500, num_partitions=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -1,0 +1,43 @@
+"""Hash oracle: numpy xxh64 must be bit-identical to Spark's F.xxhash64 on
+longs — that's what lets SQL-side routing and UDF-side sketch hashing agree."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pimbloomfilters_spark.hashing import double_hashes, splitmix64, xxh64_u64
+
+
+def test_xxh64_matches_spark(spark):
+    vals = [0, 1, -1, 42, 2**31, -(2**31), 2**62, -(2**62), 123456789012345]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    expected = [r[0] for r in df.select(F.xxhash64("x")).collect()]
+    ours = xxh64_u64(np.array(vals, dtype=np.int64).astype(np.uint64), seed=42)
+    assert ours.astype(np.int64).tolist() == expected
+
+
+def test_xxh64_seed_sensitivity(spark):
+    vals = np.arange(1000, dtype=np.uint64)
+    a = xxh64_u64(vals, seed=42)
+    b = xxh64_u64(vals, seed=43)
+    assert (a != b).mean() > 0.99
+
+
+def test_double_hashes_h2_odd():
+    _, h2 = double_hashes(np.arange(10_000, dtype=np.uint64))
+    assert (h2 & np.uint64(1)).all()
+
+
+def test_hash_uniformity():
+    h = xxh64_u64(np.arange(100_000, dtype=np.uint64))
+    # bucket into 64 bins; chi-square-ish sanity
+    counts = np.bincount((h >> np.uint64(58)).astype(np.int64), minlength=64)
+    assert counts.min() > 100_000 / 64 * 0.8
+    assert counts.max() < 100_000 / 64 * 1.2
+
+
+def test_splitmix64_deterministic():
+    a = splitmix64(np.arange(100, dtype=np.uint64))
+    b = splitmix64(np.arange(100, dtype=np.uint64))
+    assert (a == b).all()
+    assert len(np.unique(a)) == 100

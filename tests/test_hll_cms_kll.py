@@ -1,0 +1,154 @@
+"""North-rule sketch families: estimates within published bounds vs exact
+answers; merge associativity/commutativity; serialize/restore."""
+
+import numpy as np
+import pytest
+
+from pimbloomfilters_spark.sketches import (
+    CountMinSketch,
+    HyperLogLog,
+    KLLSketch,
+    make_sketch,
+    sketch_from_bytes,
+)
+
+
+# ---------------------------------------------------------------- HLL
+@pytest.mark.parametrize("n", [100, 10_000, 1_000_000])
+def test_hll_estimate_within_bound(n):
+    h = HyperLogLog(p=14)
+    h.insert_bulk(np.arange(n, dtype=np.int64))
+    est = h.estimate()
+    # 1.04/sqrt(m) relative std error; allow 4 sigma
+    tol = 4 * h.relative_error()
+    assert abs(est - n) <= tol * n, (est, n)
+
+
+def test_hll_duplicates_dont_count():
+    h = HyperLogLog(p=12)
+    vals = np.tile(np.arange(1000, dtype=np.int64), 50)
+    h.insert_bulk(vals)
+    assert abs(h.estimate() - 1000) <= 4 * h.relative_error() * 1000
+
+
+def test_hll_merge_equals_union():
+    a, b = HyperLogLog(p=12), HyperLogLog(p=12)
+    a.insert_bulk(np.arange(0, 60_000, dtype=np.int64))
+    b.insert_bulk(np.arange(40_000, 100_000, dtype=np.int64))  # overlap
+    a.merge(b)
+    one = HyperLogLog(p=12)
+    one.insert_bulk(np.arange(100_000, dtype=np.int64))
+    assert a.payload() == one.payload()  # register-max merge is exact
+
+
+def test_hll_roundtrip():
+    h = HyperLogLog(p=10)
+    h.insert_bulk(np.arange(5000, dtype=np.int64))
+    h2 = sketch_from_bytes(h.to_bytes())
+    assert h2.estimate() == h.estimate()
+
+
+# ---------------------------------------------------------------- CMS
+def test_cms_one_sided_and_bounded():
+    rng = np.random.default_rng(42)
+    vals = rng.zipf(1.3, size=200_000)
+    vals = vals[vals < 100_000].astype(np.int64)
+    c = CountMinSketch(eps=1e-3, delta=1e-3)
+    c.insert_bulk(vals)
+    uniq, true_counts = np.unique(vals, return_counts=True)
+    est = c.query_bulk(uniq)
+    assert (est >= true_counts).all()  # never under-estimates
+    over = est - true_counts
+    # eps*N bound with prob 1-delta: allow a few violators out of len(uniq)
+    violations = (over > c.eps * c.total).sum()
+    assert violations <= max(3, c.delta * len(uniq) * 10)
+
+
+def test_cms_merge_equals_concat():
+    a, b = CountMinSketch(eps=1e-3, delta=1e-2), CountMinSketch(eps=1e-3, delta=1e-2)
+    a.insert_bulk(np.arange(1000, dtype=np.int64))
+    b.insert_bulk(np.arange(500, 1500, dtype=np.int64))
+    a.merge(b)
+    one = CountMinSketch(eps=1e-3, delta=1e-2)
+    one.insert_bulk(np.concatenate([np.arange(1000), np.arange(500, 1500)]).astype(np.int64))
+    assert a.payload() == one.payload()
+    assert a.total == one.total == 2000
+
+
+def test_cms_roundtrip():
+    c = CountMinSketch(eps=1e-3, delta=1e-2)
+    c.insert_bulk(np.arange(1000, dtype=np.int64))
+    c2 = sketch_from_bytes(c.to_bytes())
+    assert c2.query(5) == c.query(5)
+    assert c2.total == c.total
+
+
+# ---------------------------------------------------------------- KLL
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "zipfish"])
+def test_kll_quantiles_within_rank_error(dist):
+    rng = np.random.default_rng(7)
+    n = 200_000
+    if dist == "uniform":
+        data = rng.integers(0, 10_000, n).astype(np.float64)
+    elif dist == "lognormal":
+        data = np.clip(rng.lognormal(4.0, 1.0, n), 1, 2048)
+    else:
+        data = rng.zipf(1.5, n).astype(np.float64)
+    k = KLLSketch(k=200)
+    # feed in chunks like Arrow batches
+    for chunk in np.array_split(data, 37):
+        k.insert_bulk(chunk)
+    s = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = k.quantile(q)
+        # with duplicated values, est covers a rank interval [lo, hi];
+        # it must intersect [q*n - eps*n, q*n + eps*n]
+        lo = np.searchsorted(s, est, side="left")
+        hi = np.searchsorted(s, est, side="right")
+        band = k.rank_error() * n + 1
+        assert lo - band <= q * n <= hi + band, (q, est, lo, hi)
+
+
+def test_kll_merge_estimate_stable():
+    rng = np.random.default_rng(1)
+    data = rng.normal(100, 15, 100_000)
+    parts = np.array_split(data, 8)
+
+    def build(chunks):
+        k = KLLSketch(k=200)
+        for c in chunks:
+            k.insert_bulk(c)
+        return k
+
+    merged = build(parts[:1])
+    for p in parts[1:]:
+        merged.merge(build([p]))
+    one = build([data])
+    s = np.sort(data)
+    n = len(data)
+    for q in (0.25, 0.5, 0.75):
+        for est in (merged.quantile(q), one.quantile(q)):
+            lo = np.searchsorted(s, est, side="left")
+            hi = np.searchsorted(s, est, side="right")
+            band = 2 * merged.rank_error() * n
+            assert lo - band <= q * n <= hi + band
+    assert merged.n == one.n == len(data)
+
+
+def test_kll_roundtrip():
+    k = KLLSketch(k=128)
+    k.insert_bulk(np.arange(50_000, dtype=np.float64))
+    k2 = sketch_from_bytes(k.to_bytes())
+    assert k2.n == k.n
+    assert k2.quantile(0.5) == k.quantile(0.5)
+
+
+# ---------------------------------------------------------------- factory
+def test_factory_mirrors_reference():
+    # src/bloom_filter_factory.cpp:19-47 — kind -> concrete sketch
+    assert make_sketch("bloom", size2=16, nb_hash=4).kind == "bloom"
+    assert make_sketch("hll", p=12).kind == "hll"
+    assert make_sketch("cms", eps=1e-3, delta=1e-2).kind == "cms"
+    assert make_sketch("kll", k=100).kind == "kll"
+    with pytest.raises(ValueError):
+        make_sketch("nope")
