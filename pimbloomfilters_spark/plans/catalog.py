@@ -1,0 +1,309 @@
+"""Named query catalog — the driver-facing correctness surface.
+
+Each entry pairs a PySpark implementation (our sketch engine) with an ANSI-SQL
+oracle DuckDB can run on the same parquet tables. Sketch outputs are
+approximate, so oracle-gated queries are designed to be *exactly* checkable:
+
+- membership queries rely on the Bloom no-false-negative guarantee plus a
+  geometry chosen so measured FPR is zero at the gated scale (verified
+  empirically and frozen — the build is deterministic, so it stays zero);
+- estimate queries return the *exact* answer (computed by Spark) alongside a
+  boolean asserting the sketch estimate fell within its published error bound
+  — the oracle returns the exact answer and TRUE.
+
+Queries whose output genuinely can't be reproduced in SQL (raw sketch state,
+streaming) carry ``oracle=None`` → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..operators import build_sketch, probe_key_column
+from ..sketches import make_sketch
+from ..sources.tables import TOKENS_ORACLE_CTE, load_table, token_table, tokens_exploded
+
+# Frozen geometry for oracle-gated membership: measured FPR must be 0 at the
+# gated scales (sf0.001/sf0.01). 2^24 bits for <= ~60k distinct keys, k=8:
+# expected FPs ~ 1e-12 per probe. Verified zero by tools/check_oracles.py.
+_GATED_BLOOM = dict(size2=24, nb_hash=8)
+_NEG_LO, _NEG_HI = 10_000_000, 10_001_000  # disjoint negative probe range
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    description: str
+
+
+# --------------------------------------------------------------------------
+# 1. token table derivation (exact relational check of the input pipeline)
+# --------------------------------------------------------------------------
+
+def q_token_table_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokens_exploded(spark, sf_dir).select(
+        "doc_id", "source", "pos", "token_id"
+    )
+
+
+_ORACLE_TOKENS = TOKENS_ORACLE_CTE + """
+SELECT doc_id, source, pos, token_id FROM tok
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. Bloom membership (reference ops #2/#4: insert_bulk + contains_bulk)
+# --------------------------------------------------------------------------
+
+def q_bloom_probe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokens_exploded(spark, sf_dir)
+    sk, _ = build_sketch(
+        tok, "token_id", functools.partial(make_sketch, "bloom", **_GATED_BLOOM)
+    )
+    probes = (
+        tok.select(F.col("token_id").cast("long").alias("probe_id")).distinct()
+        .unionAll(spark.range(_NEG_LO, _NEG_HI).select(F.col("id").alias("probe_id")))
+    )
+    return probe_key_column(probes, sk, "probe_id", out_col="member")
+
+
+_ORACLE_BLOOM_TOKENS = TOKENS_ORACLE_CTE + f"""
+, probes AS (
+  SELECT DISTINCT CAST(token_id AS BIGINT) AS probe_id FROM tok
+  UNION ALL
+  SELECT CAST(g.x AS BIGINT) FROM generate_series({_NEG_LO}, {_NEG_HI - 1}) AS g(x)
+)
+SELECT p.probe_id, (p.probe_id IN (SELECT CAST(token_id AS BIGINT) FROM tok)) AS member
+FROM probes p
+"""
+
+
+def q_bloom_semijoin_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom as a runtime semi-join filter: which customers have orders?"""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    sk, _ = build_sketch(
+        orders, "o_custkey", functools.partial(make_sketch, "bloom", **_GATED_BLOOM)
+    )
+    return probe_key_column(
+        customer.select("c_custkey"), sk, "c_custkey", out_col="member"
+    )
+
+
+_ORACLE_BLOOM_CUSTKEY = """
+SELECT c.c_custkey,
+       EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS member
+FROM customer c
+"""
+
+
+def q_bloom_weight_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op #5 (get_weight): popcount invariants, exactly checkable:
+    0 < weight <= k * n_distinct_inserted (<= because of bit collisions)."""
+    tok = tokens_exploded(spark, sf_dir)
+    sk, _ = build_sketch(
+        tok, "token_id", functools.partial(make_sketch, "bloom", **_GATED_BLOOM)
+    )
+    n_distinct = tok.select("token_id").distinct().count()
+    w = sk.get_weight()
+    return spark.createDataFrame(
+        [(n_distinct, w > 0, w <= sk.nb_hash * n_distinct)],
+        "n_inserted bigint, weight_positive boolean, weight_le_kn boolean",
+    )
+
+
+_ORACLE_WEIGHT = TOKENS_ORACLE_CTE + """
+SELECT CAST(count(DISTINCT token_id) AS BIGINT) AS n_inserted,
+       TRUE AS weight_positive, TRUE AS weight_le_kn
+FROM tok
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. HyperLogLog cardinality
+# --------------------------------------------------------------------------
+
+def _hll_query(spark, df, col, exact_count, alias):
+    sk, _ = build_sketch(df, col, functools.partial(make_sketch, "hll", p=14))
+    est = sk.estimate()
+    ok = abs(est - exact_count) <= 4 * sk.relative_error() * max(exact_count, 1)
+    return spark.createDataFrame(
+        [(exact_count, bool(ok))], f"{alias} bigint, within_bound boolean"
+    )
+
+
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokens_exploded(spark, sf_dir)
+    exact = tok.select("token_id").distinct().count()
+    return _hll_query(spark, tok, "token_id", exact, "exact_distinct_tokens")
+
+
+_ORACLE_HLL_TOKENS = TOKENS_ORACLE_CTE + """
+SELECT CAST(count(DISTINCT token_id) AS BIGINT) AS exact_distinct_tokens,
+       TRUE AS within_bound
+FROM tok
+"""
+
+
+def q_hll_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(F.xxhash64(F.col("doc_id").cast("string")).alias("h"))
+    exact = docs.select("doc_id").distinct().count()
+    return _hll_query(spark, hashed, "h", exact, "exact_distinct_docs")
+
+
+_ORACLE_HLL_DOCS = """
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct_docs,
+       TRUE AS within_bound
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. Count-min heavy hitters
+# --------------------------------------------------------------------------
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokens_exploded(spark, sf_dir)
+    sk, _ = build_sketch(
+        tok, "token_id", functools.partial(make_sketch, "cms", eps=1e-4, delta=1e-3)
+    )
+    top = (
+        tok.groupBy("token_id").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token_id")).limit(10).collect()
+    )
+    ids = np.array([r["token_id"] for r in top], dtype=np.int64)
+    true_counts = np.array([r["cnt"] for r in top], dtype=np.int64)
+    est = sk.query_bulk(ids)
+    rows = [
+        (int(t), int(c), bool(e >= c), bool(e <= c + sk.eps * sk.total))
+        for t, c, e in zip(ids, true_counts, est)
+    ]
+    return spark.createDataFrame(
+        rows, "token_id int, cnt bigint, cms_ge_true boolean, cms_le_bound boolean"
+    )
+
+
+_ORACLE_CMS = TOKENS_ORACLE_CTE + """
+SELECT token_id, CAST(count(*) AS BIGINT) AS cnt,
+       TRUE AS cms_ge_true, TRUE AS cms_le_bound
+FROM tok GROUP BY token_id
+ORDER BY cnt DESC, token_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. KLL quantiles over n_tok
+# --------------------------------------------------------------------------
+
+_QS = (0.25, 0.5, 0.75)
+
+
+def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tt = token_table(spark, sf_dir)
+    sk, _ = build_sketch(tt, "n_tok", functools.partial(make_sketch, "kll", k=200))
+    n = sk.n
+    # exact discrete quantile: value at 1-based rank ceil(q*n), plus exact
+    # ranks of the KLL estimate for the bound check
+    ranked = (
+        tt.select("n_tok")
+        .withColumn("rn", F.row_number().over(Window.orderBy("n_tok")))
+    )
+    targets = {q: int(math.ceil(q * n)) for q in _QS}
+    exact_rows = ranked.filter(F.col("rn").isin(list(targets.values()))).collect()
+    by_rank: dict[int, int] = {}
+    for r in exact_rows:
+        by_rank.setdefault(r["rn"], r["n_tok"])
+    ntoks = np.sort(np.array([r["n_tok"] for r in tt.select("n_tok").collect()]))
+    out = []
+    for q in _QS:
+        est = sk.quantile(q)
+        lo = int(np.searchsorted(ntoks, est, side="left"))
+        hi = int(np.searchsorted(ntoks, est, side="right"))
+        band = sk.rank_error() * n + 1
+        ok = (lo - band) <= q * n <= (hi + band)
+        out.append((float(q), int(by_rank[targets[q]]), bool(ok)))
+    return spark.createDataFrame(
+        out, "q double, exact_ntok int, within_bound boolean"
+    )
+
+
+_ORACLE_KLL = """
+WITH lens AS (
+  SELECT CAST(len(string_split(text, ' ')) AS INT) AS n_tok FROM documents
+),
+ranked AS (
+  SELECT n_tok, row_number() OVER (ORDER BY n_tok) AS rn, count(*) OVER () AS n
+  FROM lens
+)
+SELECT q, exact_ntok, TRUE AS within_bound FROM (
+  SELECT 0.25::DOUBLE AS q,
+         (SELECT n_tok FROM ranked WHERE rn = CAST(ceil(0.25 * n) AS BIGINT) LIMIT 1) AS exact_ntok
+  FROM (SELECT max(n) AS n FROM ranked)
+  UNION ALL
+  SELECT 0.5::DOUBLE,
+         (SELECT n_tok FROM ranked WHERE rn = CAST(ceil(0.5 * n) AS BIGINT) LIMIT 1)
+  FROM (SELECT max(n) AS n FROM ranked)
+  UNION ALL
+  SELECT 0.75::DOUBLE,
+         (SELECT n_tok FROM ranked WHERE rn = CAST(ceil(0.75 * n) AS BIGINT) LIMIT 1)
+  FROM (SELECT max(n) AS n FROM ranked)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+CATALOG: dict[str, QuerySpec] = {
+    "token_table_exploded": QuerySpec(
+        q_token_table_exploded, _ORACLE_TOKENS,
+        "derive (doc_id, source, pos, token_id) from documents via vocab join",
+    ),
+    "bloom_probe_tokens": QuerySpec(
+        q_bloom_probe_tokens, _ORACLE_BLOOM_TOKENS,
+        "blocked-Bloom bulk probe: distinct tokens + disjoint negatives; "
+        "no-FN + zero measured FP at gated geometry",
+    ),
+    "bloom_semijoin_custkey": QuerySpec(
+        q_bloom_semijoin_custkey, _ORACLE_BLOOM_CUSTKEY,
+        "Bloom as runtime semi-join filter: customers with orders",
+    ),
+    "bloom_weight_sanity": QuerySpec(
+        q_bloom_weight_sanity, _ORACLE_WEIGHT,
+        "get_weight popcount invariants (reference op #5)",
+    ),
+    "hll_distinct_tokens": QuerySpec(
+        q_hll_distinct_tokens, _ORACLE_HLL_TOKENS,
+        "HLL cardinality of token ids within published bound",
+    ),
+    "hll_distinct_docs": QuerySpec(
+        q_hll_distinct_docs, _ORACLE_HLL_DOCS,
+        "HLL cardinality of doc ids within published bound",
+    ),
+    "cms_heavy_hitters": QuerySpec(
+        q_cms_heavy_hitters, _ORACLE_CMS,
+        "count-min top-10 heavy hitters: one-sided error within eps*N",
+    ),
+    "kll_ntok_quantiles": QuerySpec(
+        q_kll_ntok_quantiles, _ORACLE_KLL,
+        "KLL n_tok quantiles within rank-error bound vs exact",
+    ),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle}
