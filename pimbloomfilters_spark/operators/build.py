@@ -30,6 +30,7 @@ from typing import Callable, Iterable
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
@@ -40,10 +41,21 @@ PARTIAL_SCHEMA = (
 )
 
 
+def flatten_arrow(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Flatten an Arrow column (numeric scalars or list<int>/list<long>) to
+    one contiguous int64 vector. List columns flatten zero-copy through the
+    Arrow offsets — no per-row Python objects (a pandas object-array flatten
+    is a Python loop over rows and dominated token-array build time)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        arr = arr.flatten()  # null rows contribute nothing
+    np_vals = arr.to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(np_vals, dtype=np.int64)
+
+
 def flatten_numeric(series: pd.Series) -> np.ndarray:
-    """Flatten a pandas column that is either numeric scalars or
-    array<int>/array<long> (Arrow lists arrive as ndarray/list elements)
-    into one int64 vector. Nulls/empties dropped. Vectorized per batch."""
+    """pandas fallback used by pandas-UDF call sites (per-row objects)."""
     if len(series) == 0:
         return np.empty(0, dtype=np.int64)
     first = None
@@ -67,31 +79,33 @@ def build_partials(df: DataFrame, col: str, make: Callable[[], Sketch]) -> DataF
 
     ``make`` must be a picklable zero-arg factory (e.g.
     ``functools.partial(make_sketch, "bloom", size2=24, nb_hash=8)``).
+    Runs as mapInArrow: values flow JVM->numpy with no pandas materialization.
     """
 
-    def _partials(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    def _partials(batches: Iterable[pa.RecordBatch]) -> Iterable[pa.RecordBatch]:
         t0 = time.perf_counter()
         sk = make()
         n_rows = 0
         n_values = 0
-        for pdf in batches:
-            values = flatten_numeric(pdf[col])
+        for b in batches:
+            values = flatten_arrow(b.column(0))
             sk.insert_bulk(values)
-            n_rows += len(pdf)
+            n_rows += b.num_rows
             n_values += int(values.size)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        yield pd.DataFrame(
-            {
-                "partition_id": [pid],
-                "sketch": [sk.to_bytes()],
-                "n_rows": [n_rows],
-                "n_values": [n_values],
-                "build_ms": [(time.perf_counter() - t0) * 1000.0],
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid], type=pa.int32()),
+                pa.array([sk.to_bytes()], type=pa.binary()),
+                pa.array([n_rows], type=pa.int64()),
+                pa.array([n_values], type=pa.int64()),
+                pa.array([(time.perf_counter() - t0) * 1000.0], type=pa.float64()),
+            ],
+            names=["partition_id", "sketch", "n_rows", "n_values", "build_ms"],
         )
 
-    return df.select(col).mapInPandas(_partials, schema=PARTIAL_SCHEMA)
+    return df.select(col).mapInArrow(_partials, schema=PARTIAL_SCHEMA)
 
 
 def merge_partial_rows(rows) -> tuple[Sketch, dict]:

@@ -1,0 +1,185 @@
+"""Sharded Bloom build/probe: each partition owns a disjoint bit-range.
+
+This is the faithful Spark re-expression of the reference's dispatch model:
+``HashPimItemDispatcher`` routes every item by the high/low 32 bits of its
+hash to the one (rank, DPU) whose sub-filter covers it
+(``src/pim_bloom_filter.cpp:29-43``), so no two DPUs ever write the same bits
+and "merging" is just gathering sub-filters in order
+(``src/pim_bloom_filter.cpp:379-396``).
+
+Here: shard id = top ``log2(n_shards)`` bits of xxhash64(key) — computed with
+the *JVM-side* ``F.shiftrightunsigned(F.xxhash64(col), 64-s)``, which agrees
+bit-for-bit with the numpy hash used inside the UDF (tests/test_hashing.py).
+Because block index also comes from h1's top bits, every 4096-bit block falls
+entirely inside one shard: partitions build disjoint sub-bitmaps and the
+global filter is their concatenation.
+
+Why it matters at scale: a non-sharded build moves P x (m/8) bytes of partial
+bitmaps through the merge; the sharded build moves exactly m/8 in total,
+regardless of partition count. For m=2^33 on 1000 executors that is 1 GiB
+instead of 1 TiB of shuffle.
+
+The probe side can stay broadcast (small m) or go *distributed*: probes are
+repartitioned by the same shard expression and cogrouped with the shard
+bitmaps (``cogroup.applyInPandas``), so each task reads only the slice of the
+filter it needs — the filter is never materialized on one machine.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from ..sketches import BlockedBloomFilter
+from ..sketches.bloom import BLOCK_BITS, bloom_positions, scatter_or_bits
+from .build import flatten_arrow
+
+SHARD_SCHEMA = "shard int, sketch binary, n_values long"
+
+
+def _shard_expr(col: str, shard_bits: int):
+    # top shard_bits of xxhash64(col); logical shift keeps it unsigned
+    return F.shiftrightunsigned(F.xxhash64(F.col(col)), 64 - shard_bits)
+
+
+def build_bloom_shards(
+    df: DataFrame,
+    col: str,
+    size2: int,
+    nb_hash: int,
+    seed: int = 42,
+    block_bits: int = BLOCK_BITS,
+    n_shards: int = 64,
+) -> DataFrame:
+    """DataFrame[shard int, sketch binary, n_values long]: one disjoint
+    bit-range sub-filter per shard. Requires n_shards <= m/block_bits so shard
+    boundaries are block-aligned."""
+    m_bits = 1 << size2
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    if m_bits // min(block_bits, m_bits) < n_shards:
+        raise ValueError("n_shards must be <= number of blocks (m/block_bits)")
+    shard_bits = int(math.log2(n_shards))
+    shard_size_bits = m_bits // n_shards
+
+    is_array = str(df.schema[col].dataType).lower().startswith("array")
+
+    def _build(batches: Iterable[pa.RecordBatch]) -> Iterable[pa.RecordBatch]:
+        buf: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for b in batches:
+            values = flatten_arrow(b.column(0))
+            if values.size == 0:
+                continue
+            pos = bloom_positions(values, size2, nb_hash, seed, block_bits)
+            shards = (pos // np.uint64(shard_size_bits)).astype(np.int64)
+            order = np.argsort(shards, kind="stable")
+            pos, shards = pos[order], shards[order]
+            bounds = np.r_[0, np.flatnonzero(np.diff(shards)) + 1, len(shards)]
+            for i in range(len(bounds) - 1):
+                s = int(shards[bounds[i]])
+                words = buf.get(s)
+                if words is None:
+                    words = buf[s] = np.zeros(shard_size_bits // 64, dtype=np.uint64)
+                    counts[s] = 0
+                scatter_or_bits(words, pos[bounds[i]:bounds[i + 1]],
+                                pos_offset=s * shard_size_bits)
+                counts[s] += (bounds[i + 1] - bounds[i]) // nb_hash
+        if buf:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(buf.keys()), type=pa.int32()),
+                    pa.array([w.tobytes() for w in buf.values()], type=pa.binary()),
+                    pa.array([counts[s] for s in buf.keys()], type=pa.int64()),
+                ],
+                names=["shard", "sketch", "n_values"],
+            )
+
+    if is_array:
+        # route by array element: explode JVM-side, then shard on the element
+        elem = df.select(F.explode(F.col(col)).alias("_v"))
+        keyed = elem.withColumn("_shard", _shard_expr("_v", shard_bits))
+        src, vcol = keyed, "_v"
+    else:
+        src, vcol = df.withColumn("_shard", _shard_expr(col, shard_bits)), col
+    parts = src.repartition(n_shards, "_shard")
+    return parts.select(F.col(vcol).alias(col)).mapInArrow(_build, schema=SHARD_SCHEMA)
+
+
+def assemble_bloom(shards_rows, size2: int, nb_hash: int, seed: int = 42,
+                   block_bits: int = BLOCK_BITS, n_shards: int = 64
+                   ) -> BlockedBloomFilter:
+    """Concatenate collected shard rows into the full filter (deterministic
+    order by shard id — the reference's sequential gather)."""
+    bf = BlockedBloomFilter(size2=size2, nb_hash=nb_hash, seed=seed,
+                            block_bits=min(block_bits, 1 << size2))
+    shard_words = bf.m_bits // n_shards // 64
+    for r in shards_rows:
+        w = np.frombuffer(r["sketch"], dtype=np.uint64)
+        s = int(r["shard"])
+        bf._words[s * shard_words:(s + 1) * shard_words] |= w
+    return bf
+
+
+def build_bloom_sharded(df: DataFrame, col: str, size2: int, nb_hash: int,
+                        seed: int = 42, block_bits: int = BLOCK_BITS,
+                        n_shards: int = 64) -> BlockedBloomFilter:
+    rows = build_bloom_shards(df, col, size2, nb_hash, seed, block_bits,
+                              n_shards).collect()
+    return assemble_bloom(rows, size2, nb_hash, seed, block_bits, n_shards)
+
+
+def probe_bloom_distributed(
+    probes: DataFrame,
+    shards: DataFrame,
+    key_col: str,
+    size2: int,
+    nb_hash: int,
+    seed: int = 42,
+    block_bits: int = BLOCK_BITS,
+    n_shards: int = 64,
+    out_col: str = "member",
+) -> DataFrame:
+    """Probe WITHOUT materializing the filter anywhere: cogroup probe keys
+    with the one shard bitmap that covers them. The filter can be arbitrarily
+    large — each task touches m/n_shards bits. Missing shard bitmap (no
+    inserts landed there) => definitely-absent => member=false."""
+    m_bits = 1 << size2
+    shard_bits = int(math.log2(n_shards))
+    shard_size_bits = m_bits // n_shards
+
+    keyed = probes.select(F.col(key_col)).withColumn(
+        "_shard", _shard_expr(key_col, shard_bits).cast("int")
+    )
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame({key_col: [], out_col: []})
+        vals = left[key_col].to_numpy(dtype=np.int64)
+        if right.empty:
+            return pd.DataFrame({key_col: vals, out_col: np.zeros(len(vals), bool)})
+        words = np.frombuffer(right["sketch"].iloc[0], dtype=np.uint64)
+        if len(right) > 1:  # defensive: OR duplicate shard rows
+            words = words.copy()
+            for blob in right["sketch"].iloc[1:]:
+                words |= np.frombuffer(blob, dtype=np.uint64)
+        base = int(right["shard"].iloc[0]) * shard_size_bits
+        pos = bloom_positions(vals, size2, nb_hash, seed, block_bits)
+        pos = pos - np.uint64(base)
+        w = (pos >> np.uint64(6)).astype(np.int64)
+        bits = np.uint64(1) << (pos & np.uint64(63))
+        hit = (words[w] & bits) != 0
+        member = hit.reshape(-1, nb_hash).all(axis=1)
+        return pd.DataFrame({key_col: vals, out_col: member})
+
+    out_schema = f"{key_col} long, {out_col} boolean"
+    return (
+        keyed.groupBy("_shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(_probe, schema=out_schema)
+    )

