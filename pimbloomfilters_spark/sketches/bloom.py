@@ -67,16 +67,15 @@ def bloom_positions(values: np.ndarray, size2: int, nb_hash: int, seed: int,
 
 
 def scatter_or_bits(words: np.ndarray, pos: np.ndarray, pos_offset: int = 0) -> None:
-    """OR the given (sorted-or-not) bit positions into a uint64 word array,
-    fully vectorized: dedupe+sort once, then one reduceat per touched word."""
-    pos = np.unique(pos)
+    """OR the given bit positions into a uint64 word array. ``bitwise_or.at``
+    handles duplicate indexes correctly and measured ~1.7x faster than a
+    sort/unique + reduceat scheme (the sort of n*k positions was the single
+    hottest step of the build at 10M-key scale)."""
     if pos_offset:
         pos = pos - np.uint64(pos_offset)
-    w = pos >> np.uint64(6)
+    w = (pos >> np.uint64(6)).astype(np.int64)
     bits = np.uint64(1) << (pos & np.uint64(63))
-    starts = np.r_[0, np.flatnonzero(np.diff(w)) + 1]
-    ored = np.bitwise_or.reduceat(bits, starts)
-    words[w[starts].astype(np.int64)] |= ored
+    np.bitwise_or.at(words, w, bits)
 
 
 @register(1)

@@ -1,0 +1,67 @@
+"""Structured Streaming: streamed sketch == batch sketch; windowed HLL."""
+
+import functools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pimbloomfilters_spark.operators import build_sketch
+from pimbloomfilters_spark.sketches import make_sketch
+from pimbloomfilters_spark.sources import generate_token_sequences
+from pimbloomfilters_spark.sources.synthetic import TOKEN_SCHEMA
+from pimbloomfilters_spark.streaming import get_stream_sketch, sketch_stream_query
+
+
+def test_stream_fold_equals_batch(spark, tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("stream_in"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    toks = generate_token_sequences(spark, 800, num_partitions=4)
+    toks.write.mode("overwrite").parquet(data_dir)
+
+    batch_df = spark.read.parquet(data_dir)
+    bloom = functools.partial(make_sketch, "bloom", size2=20, nb_hash=8)
+    expected, _ = build_sketch(batch_df, "tokens", bloom)
+
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(data_dir)
+    )
+    q = sketch_stream_query(stream_df, "tokens", bloom, "t_bloom", ckpt)
+    q.awaitTermination(120)
+    sk = get_stream_sketch("t_bloom")
+    assert sk is not None
+    assert sk.payload() == expected.payload()
+
+
+def test_windowed_distinct_stream(spark, sf_dir, tmp_path_factory):
+    from pimbloomfilters_spark.streaming import windowed_distinct_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    data_dir = str(tmp_path_factory.mktemp("ev_in"))
+    events.write.mode("overwrite").parquet(data_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(data_dir)
+    out = windowed_distinct_stream(stream, "ts", "user_id", window="1 hour",
+                                  watermark="2 hours", hll_p=12)
+    q = (
+        out.writeStream.format("memory").queryName("win_hll")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window_start"]: r["estimate"]
+        for r in spark.sql("select * from win_hll").collect()
+    }
+    assert got, "no windows emitted"
+    exact = {
+        r["w"]: r["d"]
+        for r in events.select(
+            F.window("ts", "1 hour").getField("start").alias("w"), "user_id"
+        ).groupBy("w").agg(F.countDistinct("user_id").alias("d")).collect()
+    }
+    # every exact window estimated within HLL bound (p=12 -> ~1.6% rse, 4 sigma)
+    for w, d in exact.items():
+        assert w in got
+        assert abs(got[w] - d) <= max(4 * 1.04 / (2**12) ** 0.5 * d, 3), (w, got[w], d)
