@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce``: exact top-k neighbors for a query set. The
+  query matrix rides to executors in the task closure (it is small); each
+  task computes a dense (batch x queries) GEMM in numpy over Arrow
+  FixedSizeList/List values — one matmul per batch, no per-row Python — and
+  emits only its local top-k, which a tiny global sort finishes. This is the
+  map-side-combine shape: shuffle is O(partitions x k), never O(rows).
+- ``cosine_pairs_bruteforce``: all pairs above a cosine threshold (near-dup
+  primitive; exact at small scale, the oracle for the LSH path).
+- ``ann_lsh_topk``: random-hyperplane LSH — bucket by sign bits, search only
+  within the query's bucket (and optional multi-probe neighbors). The 100 TB
+  path: candidate set per query is ~corpus/2^bits, tunable; recall measured
+  against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..hashing import splitmix64
+
+
+def _batch_matrix(col: pa.Array, dim: int) -> np.ndarray:
+    """(rows, dim) float64 matrix from an Arrow list<float> column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.asarray(flat, dtype=np.float64).reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_topk_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
+                           vec_col: str = "embedding", id_col: str = "vec_id",
+                           exclude_self: bool = True) -> DataFrame:
+    """(query_id, neighbor_id, rank): exact top-k by cosine, ties broken by
+    neighbor id ascending (deterministic across engines)."""
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qm = _normalize(np.array([r[vec_col] for r in qrows], dtype=np.float64))
+    dim = qm.shape[1]
+
+    def _topk(batches):
+        for b in batches:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            m = _normalize(_batch_matrix(b.column(1), dim))
+            sims = m @ qm.T  # (rows, queries)
+            if exclude_self:
+                sims[ids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, queries)
+            qcol = np.repeat(q_ids[None, :], kk, axis=0).ravel()
+            ncol = ids[top].ravel()
+            scol = np.take_along_axis(sims, top, axis=0).ravel()
+            keep = scol > -np.inf
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qcol[keep]), pa.array(ncol[keep]),
+                 pa.array(scol[keep])],
+                names=["query_id", "neighbor_id", "cos"],
+            )
+
+    local = df.select(id_col, vec_col).mapInArrow(
+        _topk, "query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_pairs_bruteforce(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95) -> DataFrame:
+    """(id_a, id_b, cos): all pairs with cosine >= threshold, id_a < id_b.
+    One side is collected & normalized (small scale / the verified candidate
+    set at large scale); tasks GEMM their batch against it."""
+    rows = df.select(id_col, vec_col).collect()
+    all_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    am = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    dim = am.shape[1]
+
+    def _pairs(batches):
+        for b in batches:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            m = _normalize(_batch_matrix(b.column(1), dim))
+            sims = m @ am.T
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < all_ids[None, :]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[ii]), pa.array(all_ids[jj]),
+                 pa.array(sims[ii, jj])],
+                names=["id_a", "id_b", "cos"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        _pairs, "id_a long, id_b long, cos double"
+    )
+
+
+def lsh_bucket_ids(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", bits: int = 8,
+                   seed: int = 5) -> DataFrame:
+    """(id, bucket): random-hyperplane LSH bucket (sign bits of ``bits``
+    seeded Gaussian projections — hyperplanes derived from splitmix64, so
+    identical on every executor without shipping state)."""
+
+    def _planes(dim: int) -> np.ndarray:
+        # deterministic pseudo-gaussians via Box-Muller on splitmix streams
+        n = bits * dim
+        u1 = (splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed * 1_000_003))
+              >> np.uint64(11)).astype(np.float64) / (1 << 53)
+        u2 = (splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed * 2_000_003))
+              >> np.uint64(11)).astype(np.float64) / (1 << 53)
+        z = np.sqrt(-2 * np.log(np.clip(u1, 1e-12, 1))) * np.cos(2 * np.pi * u2)
+        return z.reshape(bits, dim)
+
+    def _bucket(batches):
+        planes = None
+        for b in batches:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            first = b.column(1)
+            if isinstance(first, pa.ChunkedArray):
+                first = first.combine_chunks()
+            dim = len(first[0])
+            if planes is None:
+                planes = _planes(dim)
+            m = _batch_matrix(b.column(1), dim)
+            signs = (m @ planes.T) > 0
+            bucket = (signs * (1 << np.arange(bits))[None, :]).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(bucket.astype(np.int64))],
+                names=[id_col, "bucket"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        _bucket, f"{id_col} long, bucket long"
+    )
+
+
+def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 bits: int = 6, seed: int = 5, probe_radius: int = 1) -> DataFrame:
+    """Approximate top-k: restrict each query's search to its LSH bucket plus
+    multiprobe neighbors (all buckets within Hamming ``probe_radius`` of the
+    query's — the standard multiprobe-LSH recall lever, costing
+    (1+bits) x bucket-size candidates at radius 1 instead of a bigger table).
+    Returns (query_id, neighbor_id, rank); recall vs exact measured in tests."""
+    data_b = lsh_bucket_ids(df, vec_col, id_col, bits, seed)
+    with_bucket = df.join(data_b, id_col)
+    q_b = lsh_bucket_ids(queries, vec_col, id_col, bits, seed).withColumnRenamed(
+        id_col, "query_id"
+    )
+    if probe_radius >= 1:
+        # explode each query to its bucket + all radius-1 bit flips
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+        )
+        q_b = q_b.select("query_id", F.explode(probes).alias("bucket"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qvec")).join(q_b, "query_id")
+    # bucket-join: each candidate row pairs only with same-bucket queries
+    joined = with_bucket.join(qv, "bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = F.try_divide(
+        F.aggregate(
+            F.zip_with(vec_col, "qvec", lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+        * F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        joined.withColumn("cos", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
+    )

@@ -1,0 +1,136 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything except the rolling fingerprint is pure Spark SQL expressions (stays
+inside whole-stage codegen, no Python in the hot path) and is deliberately
+restricted to constructs DuckDB evaluates identically, so the driver's oracle
+gate checks them exactly. The rolling fingerprint needs stateful per-char math
+-> vectorized numpy via mapInArrow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword profiles (public common words). The synthetic
+# corpus is English-ish; the heuristic is deterministic, not a classifier.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est"),
+}
+
+STOPWORDS = tuple(sorted({w for ws in LANG_PROFILES.values() for w in ws}))
+
+TOKEN_RE = "[a-zA-Z0-9]+"  # same semantics in Java regex and DuckDB/RE2
+
+
+def _profile_count(text_col: Column, words: tuple[str, ...]) -> Column:
+    arr = F.split(text_col, " ")
+    return F.size(F.filter(arr, lambda w: w.isin(*words)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang): argmax of stopword-profile hits; deterministic
+    tie-break on language code ascending (ties -> first alphabetically)."""
+    scores = [
+        F.struct(
+            _profile_count(F.col(text_col), ws).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(LANG_PROFILES.items())
+    ]
+    # greatest() picks max score; struct comparison breaks ties on the SECOND
+    # field ascending is wrong (greatest -> max lang) — so invert: sort_array
+    # of structs (score desc via negation, lang asc) and take element 0.
+    arr = F.sort_array(
+        F.array(*[
+            F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang"))
+            for s in scores
+        ])
+    )
+    return df.select("doc_id", arr[0]["lang"].alias("pred_lang"))
+
+
+def quality_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality signals per doc (exact, oracle-checkable):
+    chars, words, alnum tokens, stopwords, long words (>6 chars)."""
+    arr = F.split(F.col(text_col), " ")
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.size(arr).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+               ).alias("n_alnum_tokens"),
+        F.size(F.filter(arr, lambda w: w.isin(*STOPWORDS))).alias("n_stopwords"),
+        F.size(F.filter(arr, lambda w: F.length(w) > 6)).alias("n_long_words"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1] from the integer signals (ratios are
+    computed but the catalog exposes the integer signals for exact gating)."""
+    q = quality_counts(df, text_col)
+    return q.withColumn(
+        "quality",
+        (F.least(F.col("n_words") / 200.0, F.lit(1.0)) * 0.5
+         + (1.0 - F.col("n_stopwords") / F.greatest(F.col("n_words"), F.lit(1))) * 0.2
+         + F.least(F.col("n_alnum_tokens") / F.greatest(F.col("n_words"), F.lit(1)),
+                   F.lit(1.0)) * 0.3),
+    )
+
+
+def doc_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content hash fingerprint (md5 hex — identical in Spark and DuckDB)."""
+    return df.select("doc_id", F.md5(F.col(text_col)).alias("fingerprint"))
+
+
+_FP_MOD = np.uint64((1 << 61) - 1)
+_FP_BASE = np.uint64(257)
+
+
+def rolling_fingerprints(df: DataFrame, text_col: str = "text",
+                         window: int = 16, keep: int = 8) -> DataFrame:
+    """Karp–Rabin rolling-hash document fingerprints (winnowing-lite): hash
+    every ``window``-byte window of the text mod 2^61-1, keep the ``keep``
+    smallest distinct window hashes as the doc signature. Shared windows =>
+    shared signature entries, the standard near-dup fingerprint primitive.
+    Vectorized: per batch, one flat byte array + cumulative powers (no
+    per-char Python)."""
+
+    def _fp(batches):
+        # precompute base powers once per task
+        pw = np.ones(window, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(1, window):
+                pw[i] = (pw[i - 1] * _FP_BASE) % _FP_MOD
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            ids = b.column(0)
+            sigs = []
+            for t in texts:
+                raw = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                if raw.size < window:
+                    sigs.append([])
+                    continue
+                n = raw.size - window + 1
+                # windows matrix via stride trick, then dot with powers mod p
+                w = np.lib.stride_tricks.sliding_window_view(raw, window)
+                with np.errstate(over="ignore"):
+                    acc = np.zeros(n, dtype=np.uint64)
+                    for i in range(window):  # window is small (16): 16 vec ops
+                        acc = (acc + w[:, i].astype(np.uint64) * pw[window - 1 - i]) % _FP_MOD
+                uniq = np.unique(acc)
+                sigs.append(uniq[:keep].astype(np.int64).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sigs, type=pa.list_(pa.int64()))],
+                names=["doc_id", "fingerprints"],
+            )
+
+    id_type = dict(df.dtypes)["doc_id"]
+    return df.select("doc_id", text_col).mapInArrow(
+        _fp, f"doc_id {id_type}, fingerprints array<long>"
+    )

@@ -261,7 +261,7 @@ SELECT q, exact_ntok, TRUE AS within_bound FROM (
 
 
 # --------------------------------------------------------------------------
-# registry
+# registry (sketch core; training-data pipeline ops join in at the bottom)
 # --------------------------------------------------------------------------
 
 CATALOG: dict[str, QuerySpec] = {
@@ -299,6 +299,15 @@ CATALOG: dict[str, QuerySpec] = {
         "KLL n_tok quantiles within rank-error bound vs exact",
     ),
 }
+
+
+def _register_pipeline_catalog() -> None:
+    from .pipeline_catalog import PIPELINE_CATALOG
+
+    CATALOG.update(PIPELINE_CATALOG)
+
+
+_register_pipeline_catalog()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,214 @@
+"""Catalog entries for the training-data pipeline ops (text / dedup /
+similarity / multimodal), with exact DuckDB oracles wherever the output is
+deterministic and SQL-expressible; rows-only entries otherwise.
+
+Design notes on exactness:
+- lang_id / quality counts / md5: pure expression logic restricted to
+  constructs both engines evaluate identically (integer counts, md5 hex).
+- jaccard: both engines divide the same integers -> identical doubles.
+- minhash: LSH recall is 1 at (t=0.7, 64 hashes, 32 bands) so the verified
+  output EQUALS the exact pair set (tests/test_functions.py gates this).
+- cosine: numpy BLAS vs DuckDB sequential summation differ at ~1e-16; ranks
+  and >=t decisions only flip if a gap is below that — with this data, gaps
+  are >= 1e-3. The oracle returns ranks/pairs, never raw floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import dedup, multimodal, similarity, text
+from ..sources.tables import load_table
+from .catalog import QuerySpec
+
+_STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
+
+
+def _profile_sql(words) -> str:
+    lst = "['" + "','".join(words) + "']"
+    return f"len(list_filter(string_split(text,' '), w -> list_contains({lst}, w)))"
+
+
+# ------------------------------------------------------------------ text
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+_p = {lang: _profile_sql(ws) for lang, ws in sorted(text.LANG_PROFILES.items())}
+_ORACLE_LANG = f"""
+WITH scored AS (
+  SELECT doc_id, {_p['de']} AS s_de, {_p['en']} AS s_en,
+         {_p['es']} AS s_es, {_p['fr']} AS s_fr
+  FROM documents
+)
+SELECT doc_id, CASE
+  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+  WHEN s_es >= s_fr THEN 'es'
+  ELSE 'fr' END AS pred_lang
+FROM scored
+"""
+
+
+def q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_counts(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_QUALITY = f"""
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+  CAST(len(regexp_extract_all(text, '{text.TOKEN_RE}')) AS INT) AS n_alnum_tokens,
+  CAST(len(list_filter(string_split(text, ' '),
+       w -> list_contains({_STOP_SQL}, w))) AS INT) AS n_stopwords,
+  CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 6)) AS INT)
+       AS n_long_words
+FROM documents
+"""
+
+
+def q_doc_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_md5(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_MD5 = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: Karp-Rabin window hashes are not expressible in DuckDB SQL
+    return text.rolling_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------- dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY text
+"""
+
+_JACCARD_CTE = """
+WITH grams AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, g.pos, 3) AS gram
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 2, 0))) AS pos) g
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.7
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the simhash function itself is not reproducible in SQL
+    return dedup.simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    ).select("id_a", "id_b")  # floats stay out of the hash compare
+
+
+_ORACLE_EMB_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+# ------------------------------------------------------------- similarity
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(emb, queries, k=5)
+
+
+_ORACLE_TOPK = """
+WITH sims AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, d.embedding) AS cos
+  FROM embeddings q JOIN embeddings d ON q.vec_id != d.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: bucketing depends on our hash family
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_lsh_topk(emb, queries, k=5, bits=6)
+
+
+# ------------------------------------------------------------ multimodal
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: binary plumbing demo over the deterministic synthetic table
+    mm = multimodal.synth_multimodal(spark, 200, num_partitions=8)
+    return multimodal.decode_image(mm).select(
+        "item_id", "modality", "decoded_frames", "width", "height", "channels"
+    )
+
+
+PIPELINE_CATALOG: dict[str, QuerySpec] = {
+    "lang_id": QuerySpec(q_lang_id, _ORACLE_LANG,
+                         "stopword-profile language-ID heuristic"),
+    "quality_counts": QuerySpec(q_quality_counts, _ORACLE_QUALITY,
+                                "integer text-quality signals"),
+    "doc_fingerprint_md5": QuerySpec(q_doc_md5, _ORACLE_MD5,
+                                     "content-hash fingerprint"),
+    "doc_rolling_fingerprints": QuerySpec(
+        q_rolling_fingerprints, None,
+        "Karp-Rabin rolling-hash winnowing signature (rows-only)"),
+    "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT,
+                             "exact dedup: kept representative per content group"),
+    "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, _JACCARD_CTE,
+                                     "exact 3-gram Jaccard pairs >= 0.7"),
+    "minhash_near_dup": QuerySpec(
+        q_minhash_near_dup, _JACCARD_CTE,
+        "MinHash+LSH candidates exact-verified — equals exact pairs (recall 1)"),
+    "simhash_near_dup": QuerySpec(q_simhash_near_dup, None,
+                                  "SimHash Hamming<=8 near-dup pairs (rows-only)"),
+    "embedding_near_dup": QuerySpec(q_embedding_near_dup, _ORACLE_EMB_NEAR_DUP,
+                                    "embedding cosine near-dup pairs >= 0.4"),
+    "cosine_topk": QuerySpec(q_cosine_topk, _ORACLE_TOPK,
+                             "exact brute-force cosine top-5 neighbors"),
+    "ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None,
+                              "multiprobe hyperplane-LSH approximate top-5 (rows-only)"),
+    "multimodal_decode_stats": QuerySpec(
+        q_multimodal_decode_stats, None,
+        "binary multimodal decode plumbing (rows-only; codec stubbed)"),
+}

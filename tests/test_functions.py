@@ -1,0 +1,198 @@
+"""Training-data pipeline ops: text analysis, dedup, similarity, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pimbloomfilters_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+# ------------------------------------------------------------------ text
+def test_lang_id_deterministic(spark, docs):
+    a = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    b = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert a == b and len(a) == docs.count()
+    assert set(a.values()) <= set(text.LANG_PROFILES) | {None}
+
+
+def test_quality_counts_invariants(spark, docs):
+    q = text.quality_counts(docs)
+    row = q.join(docs, "doc_id").first()
+    assert row["n_chars"] == len(row["text"])
+    assert row["n_words"] == len(row["text"].split(" "))
+    bad = q.filter(
+        (F.col("n_stopwords") > F.col("n_words"))
+        | (F.col("n_alnum_tokens") < 0)
+    ).count()
+    assert bad == 0
+
+
+def test_doc_md5_matches_python(spark, docs):
+    import hashlib
+
+    row = text.doc_md5(docs).join(docs, "doc_id").first()
+    assert row["fingerprint"] == hashlib.md5(row["text"].encode()).hexdigest()
+
+
+def test_rolling_fingerprints_shared_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: set(r["fingerprints"])
+           for r in text.rolling_fingerprints(df).collect()}
+    assert fps[1] & fps[2], "near-identical docs must share window hashes"
+    assert not (fps[1] & fps[3])
+
+
+# ------------------------------------------------------------------ dedup
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"]: r["group_size"] for r in dedup.dedup_exact(df).collect()}
+    assert kept == {1: 3, 2: 1}
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghiX"), (3, "qrstuvwxyz")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+    # grams(10-char text, n=3) = 8 each; shared = 7 -> j = 7/9
+    assert abs(pairs[0]["jaccard"] - 7 / 9) < 1e-9
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(1, base), (2, base[:-6] + "zebra "), (3, "completely different words here " * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.minhash_near_dup_pairs(df, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(1, 2)}
+    exact = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in exact} == {(1, 2)}
+
+
+def test_minhash_recall_on_corpus(spark, docs):
+    """On the real corpus: LSH-verified pairs == exact pairs (recall 1 at
+    this threshold/banding) — the property the oracle gate relies on."""
+    t = 0.7
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in dedup.minhash_near_dup_pairs(docs, threshold=t).collect()}
+    assert lsh == exact and exact, (len(lsh), len(exact))
+
+
+def test_simhash_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(1, base), (2, base + "tail"), (3, "unrelated content entirely " * 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(df).collect()}
+    h12 = bin(sigs[1] ^ sigs[2]).count("1")
+    h13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert h12 < h13
+    pairs = dedup.simhash_near_dup_pairs(df, max_hamming=8).collect()
+    assert (1, 2) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+
+
+# ------------------------------------------------------------------ similarity
+def test_cosine_topk_matches_numpy(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.cosine_topk_bruteforce(emb, queries, k=3).collect()
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q in range(5):
+        qi = np.where(ids == q)[0][0]
+        sims = m @ m[qi]
+        sims[qi] = -np.inf
+        order = np.lexsort((ids, -sims))
+        expect = ids[order[:3]].tolist()
+        ours = [n for _, n in sorted(by_q[q])]
+        assert ours == expect, (q, ours, expect)
+
+
+def test_ann_lsh_recall_on_planted_neighbors(spark, emb):
+    """The testdata embeddings are near-orthogonal random vectors (top-5
+    neighbor cosine ~0.32), where sub-linear ANN recall is information-
+    theoretically poor for ANY method — so the meaningful test plants true
+    near-duplicates (cos ~0.98) and checks LSH retrieves their source."""
+    rows = emb.select("vec_id", "embedding").limit(20).collect()
+    rng = np.random.default_rng(3)
+    planted = [
+        (int(r["vec_id"]) + 100_000,
+         (np.array(r["embedding"]) + rng.normal(0, 0.05, 64) * np.abs(
+             np.array(r["embedding"])).mean()).astype(float).tolist())
+        for r in rows
+    ]
+    queries = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=1).collect()
+    assert all(r["neighbor_id"] == r["query_id"] - 100_000 for r in exact)
+    approx = similarity.ann_lsh_topk(emb, queries, k=5, bits=6).collect()
+    found = {
+        r["query_id"] for r in approx
+        if r["neighbor_id"] == r["query_id"] - 100_000
+    }
+    assert len(found) >= 14, f"planted-neighbor recall {len(found)}/20"
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    for r in pairs[:20]:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos"] >= 0.95
+
+
+# ------------------------------------------------------------------ multimodal
+def test_multimodal_pipeline(spark):
+    mm = multimodal.synth_multimodal(spark, 60, num_partitions=4).cache()
+    assert mm.count() == 60
+    dec = multimodal.decode_image(mm)
+    row = dec.first()
+    assert 0 <= row["px_mean"] <= 255
+    vids = dec.filter(F.col("modality") == "video")
+    assert vids.filter(F.col("decoded_frames") < 2).count() == 0
+
+    rs = multimodal.resize_images(mm, out_h=4, out_w=4)
+    r = rs.first()
+    assert r["width"] == 4 and r["height"] == 4
+
+    frames = multimodal.sample_frames(mm.filter(F.col("modality") == "video"), every=2)
+    assert frames.count() > 0
+    assert frames.filter(F.col("frame_idx") % 2 != 0).count() == 0
+
+    feats = multimodal.extract_features(mm, dim=16)
+    f = feats.first()
+    assert len(f["feature"]) == 16
+    assert all(0.0 <= x <= 1.0 for x in f["feature"])
+
+
+def test_multimodal_real_codec_is_stubbed(spark):
+    mm = multimodal.synth_multimodal(spark, 4)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(mm, codec="real")
