@@ -207,9 +207,10 @@ ORDER BY cnt DESC, token_id ASC LIMIT 10
 _QS = (0.25, 0.5, 0.75)
 
 
-def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quantile_sketch_query(spark: SparkSession, sf_dir: str, factory,
+                           err_of) -> DataFrame:
     tt = token_table(spark, sf_dir)
-    sk, _ = build_sketch(tt, "n_tok", functools.partial(make_sketch, "kll", k=200))
+    sk, _ = build_sketch(tt, "n_tok", factory)
     n = sk.n
     # exact discrete quantile: value at 1-based rank ceil(q*n), plus exact
     # ranks of the KLL estimate for the bound check
@@ -228,11 +229,25 @@ def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         est = sk.quantile(q)
         lo = int(np.searchsorted(ntoks, est, side="left"))
         hi = int(np.searchsorted(ntoks, est, side="right"))
-        band = sk.rank_error() * n + 1
+        band = err_of(sk, q) * n + 1
         ok = (lo - band) <= q * n <= (hi + band)
         out.append((float(q), int(by_rank[targets[q]]), bool(ok)))
     return spark.createDataFrame(
         out, "q double, exact_ntok int, within_bound boolean"
+    )
+
+
+def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quantile_sketch_query(
+        spark, sf_dir, functools.partial(make_sketch, "kll", k=200),
+        lambda sk, q: sk.rank_error(),
+    )
+
+
+def q_tdigest_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quantile_sketch_query(
+        spark, sf_dir, functools.partial(make_sketch, "tdigest", delta=200),
+        lambda sk, q: sk.rank_error(q),
     )
 
 
@@ -298,7 +313,81 @@ CATALOG: dict[str, QuerySpec] = {
         q_kll_ntok_quantiles, _ORACLE_KLL,
         "KLL n_tok quantiles within rank-error bound vs exact",
     ),
+    "tdigest_ntok_quantiles": QuerySpec(
+        q_tdigest_ntok_quantiles, _ORACLE_KLL,
+        "t-digest n_tok quantiles within k1-scale error envelope vs exact",
+    ),
+    "build_invariance": QuerySpec(
+        None, None, "placeholder replaced below"
+    ),
 }
+
+
+def q_build_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule merge associativity/commutativity + dispatch parity, as an
+    oracle-gated query: the SAME filter bytes must come out of (a) plain
+    partial-merge build, (b) salted skew-resistant repartition build,
+    (c) bit-range-sharded build (the reference's DPU dispatch analogue), and
+    (d) executor-side treeReduce merge."""
+    from ..operators.partitioning import salted_repartition
+    from ..operators.sharded import build_bloom_sharded
+
+    tok = tokens_exploded(spark, sf_dir).select("doc_id", "source", "token_id")
+    bloom = functools.partial(make_sketch, "bloom", **_GATED_BLOOM)
+    plain, _ = build_sketch(tok, "token_id", bloom)
+    salted, _ = build_sketch(
+        salted_repartition(tok, ["source"], buckets=8, salt_on="doc_id"),
+        "token_id", bloom,
+    )
+    sharded = build_bloom_sharded(tok, "token_id", n_shards=32, **_GATED_BLOOM)
+    tree, _ = build_sketch(tok, "token_id", bloom, distributed_merge=True)
+    p = plain.payload()
+    return spark.createDataFrame(
+        [(p == salted.payload(), p == sharded.payload(), p == tree.payload())],
+        "salted_equal boolean, sharded_equal boolean, tree_merge_equal boolean",
+    )
+
+
+CATALOG["build_invariance"] = QuerySpec(
+    q_build_invariance,
+    "SELECT TRUE AS salted_equal, TRUE AS sharded_equal, TRUE AS tree_merge_equal",
+    "permuted/salted/sharded/tree builds yield byte-identical filters",
+)
+
+
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill-and-resume equivalence as an oracle-gated query: a build that
+    fails after 3 of 8 buckets, then resumes, must equal the one-shot build
+    byte-for-byte (FIXTURES.md §5)."""
+    import tempfile
+
+    from ..operators.checkpoint import build_with_checkpoint
+
+    tt = token_table(spark, sf_dir)
+    bloom = functools.partial(make_sketch, "bloom", **_GATED_BLOOM)
+    oneshot, _ = build_sketch(tt, "tokens", bloom)
+    cp = tempfile.mkdtemp(prefix="pbf_ckpt_") + "/sketches"
+    try:
+        build_with_checkpoint(spark, tt, "tokens", "doc_id", bloom,
+                              build_id="gate", checkpoint_dir=cp,
+                              n_buckets=8, fail_after_bucket=3)
+    except RuntimeError:
+        pass
+    resumed, metrics = build_with_checkpoint(
+        spark, tt, "tokens", "doc_id", bloom,
+        build_id="gate", checkpoint_dir=cp, n_buckets=8,
+    )
+    return spark.createDataFrame(
+        [(resumed.payload() == oneshot.payload(), metrics["n_buckets"] == 8)],
+        "resume_equal boolean, all_buckets boolean",
+    )
+
+
+CATALOG["checkpoint_resume"] = QuerySpec(
+    q_checkpoint_resume,
+    "SELECT TRUE AS resume_equal, TRUE AS all_buckets",
+    "crash-after-3-buckets + resume == uninterrupted build, byte-identical",
+)
 
 
 def _register_pipeline_catalog() -> None:

@@ -13,6 +13,7 @@ from .bloom import BlockedBloomFilter
 from .hll import HyperLogLog
 from .cms import CountMinSketch
 from .kll import KLLSketch
+from .tdigest import TDigest
 from .factory import make_sketch, SKETCH_KINDS
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "HyperLogLog",
     "CountMinSketch",
     "KLLSketch",
+    "TDigest",
     "make_sketch",
     "SKETCH_KINDS",
 ]

@@ -9,12 +9,14 @@ from .bloom import BlockedBloomFilter
 from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLLSketch
+from .tdigest import TDigest
 
 SKETCH_KINDS = {
     "bloom": BlockedBloomFilter,
     "hll": HyperLogLog,
     "cms": CountMinSketch,
     "kll": KLLSketch,
+    "tdigest": TDigest,
 }
 
 

@@ -1,0 +1,115 @@
+"""spark-submit entry point for sketch builds/probes (north rule: "run via
+spark-submit --py-files on multi-executor clusters").
+
+Usage (cluster):
+  zip -r pbf.zip pimbloomfilters_spark
+  spark-submit --py-files pbf.zip spark_jobs/sketch_job.py build \
+      --input s3://bucket/tokens --col tokens --kind bloom \
+      --size2 30 --nb-hash 8 --out /tmp/corpus.bloom \
+      --checkpoint-dir s3://bucket/ckpt --build-id nightly-01
+
+  spark-submit --py-files pbf.zip spark_jobs/sketch_job.py probe \
+      --input s3://bucket/queries --col token_id \
+      --sketch /tmp/corpus.bloom --out s3://bucket/probe_result
+
+Local sandbox: python spark_jobs/sketch_job.py build --input \
+  /root/testdata/sf0.01/orders.parquet --col o_custkey --kind bloom \
+  --size2 22 --out /tmp/orders.bloom
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# local-mode executors need the package importable; on a real cluster
+# spark-submit --py-files ships it instead (this is then a no-op)
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{_pp}" if _pp else _REPO
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--col", required=True)
+    b.add_argument("--kind", default="bloom",
+                   choices=["bloom", "hll", "cms", "kll", "tdigest"])
+    b.add_argument("--size2", type=int, default=24)
+    b.add_argument("--nb-hash", type=int, default=8)
+    b.add_argument("--hll-p", type=int, default=14)
+    b.add_argument("--cms-eps", type=float, default=1e-4)
+    b.add_argument("--cms-delta", type=float, default=1e-3)
+    b.add_argument("--k", type=int, default=200)
+    b.add_argument("--out", required=True)
+    b.add_argument("--checkpoint-dir", default=None)
+    b.add_argument("--build-id", default="adhoc")
+    b.add_argument("--key-col", default=None,
+                   help="bucketing key for checkpointed builds")
+    b.add_argument("--sharded", action="store_true",
+                   help="bit-range-sharded bloom build (large m)")
+    b.add_argument("--n-shards", type=int, default=64)
+
+    p = sub.add_parser("probe")
+    p.add_argument("--input", required=True)
+    p.add_argument("--col", required=True)
+    p.add_argument("--sketch", required=True)
+    p.add_argument("--out", required=True)
+
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from pimbloomfilters_spark.operators import build_sketch, probe_key_column
+    from pimbloomfilters_spark.operators.checkpoint import build_with_checkpoint
+    from pimbloomfilters_spark.operators.sharded import build_bloom_sharded
+    from pimbloomfilters_spark.sketches import make_sketch, sketch_from_bytes
+
+    spark = SparkSession.builder.appName(f"pbf-{args.cmd}").getOrCreate()
+    df = spark.read.parquet(args.input)
+
+    if args.cmd == "build":
+        cfgs = {
+            "bloom": dict(size2=args.size2, nb_hash=args.nb_hash),
+            "hll": dict(p=args.hll_p),
+            "cms": dict(eps=args.cms_eps, delta=args.cms_delta),
+            "kll": dict(k=args.k),
+            "tdigest": dict(delta=args.k),
+        }
+        factory = functools.partial(make_sketch, args.kind, **cfgs[args.kind])
+        if args.sharded and args.kind == "bloom":
+            sk = build_bloom_sharded(df, args.col, n_shards=args.n_shards,
+                                     **cfgs["bloom"])
+            metrics = {"mode": "sharded", "n_shards": args.n_shards}
+        elif args.checkpoint_dir:
+            sk, metrics = build_with_checkpoint(
+                spark, df, args.col, args.key_col or args.col, factory,
+                build_id=args.build_id, checkpoint_dir=args.checkpoint_dir,
+            )
+        else:
+            sk, metrics = build_sketch(df, args.col, factory)
+        with open(args.out, "wb") as f:
+            f.write(sk.to_bytes())
+        print(json.dumps({"sketch": args.out, "kind": args.kind,
+                          "bytes": len(sk.payload()), **metrics}))
+    else:
+        with open(args.sketch, "rb") as f:
+            sk = sketch_from_bytes(f.read())
+        out = probe_key_column(df, sk, args.col)
+        out.write.mode("overwrite").parquet(args.out)
+        n = out.filter("member").count()
+        print(json.dumps({"out": args.out, "members": n}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -152,3 +152,56 @@ def test_factory_mirrors_reference():
     assert make_sketch("kll", k=100).kind == "kll"
     with pytest.raises(ValueError):
         make_sketch("nope")
+
+
+# ---------------------------------------------------------------- t-digest
+@pytest.mark.parametrize("dist", ["uniform", "lognormal"])
+def test_tdigest_quantiles_within_envelope(dist):
+    from pimbloomfilters_spark.sketches import TDigest
+
+    rng = np.random.default_rng(5)
+    n = 200_000
+    data = (rng.uniform(0, 1000, n) if dist == "uniform"
+            else np.clip(rng.lognormal(4, 1, n), 1, 2048))
+    td = TDigest(delta=200)
+    for chunk in np.array_split(data, 41):
+        td.insert_bulk(chunk)
+    s = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = td.quantile(q)
+        lo = np.searchsorted(s, est, side="left")
+        hi = np.searchsorted(s, est, side="right")
+        band = td.rank_error(q) * n + 1
+        assert lo - band <= q * n <= hi + band, (q, est, lo, hi, band)
+
+
+def test_tdigest_merge_estimate_stable():
+    from pimbloomfilters_spark.sketches import TDigest, sketch_from_bytes
+
+    rng = np.random.default_rng(9)
+    data = rng.normal(50, 10, 100_000)
+    parts = np.array_split(data, 8)
+    merged = None
+    for p in parts:
+        td = TDigest(delta=200)
+        td.insert_bulk(p)
+        merged = td if merged is None else merged.merge(td)
+    s = np.sort(data)
+    n = len(data)
+    for q in (0.25, 0.5, 0.75):
+        est = merged.quantile(q)
+        r = np.searchsorted(s, est)
+        assert abs(r - q * n) <= 2 * merged.rank_error(q) * n + 1
+    # roundtrip
+    td2 = sketch_from_bytes(merged.to_bytes())
+    assert td2.n == merged.n
+    assert td2.quantile(0.5) == merged.quantile(0.5)
+
+
+def test_tdigest_centroid_budget():
+    from pimbloomfilters_spark.sketches import TDigest
+
+    td = TDigest(delta=100)
+    td.insert_bulk(np.arange(500_000, dtype=np.float64))
+    td._compress()
+    assert td._means.size <= 2 * td.delta

@@ -1,0 +1,84 @@
+"""Physical-plan quality gates: the plans we ship are the plans we'd want at
+100 TB — filters reach the parquet scan, small dims broadcast, builds don't
+shuffle more than designed. These assertions pin that down so a regression
+(e.g. a lost broadcast hint) fails CI, not a cluster bill."""
+
+import functools
+
+import pytest
+from pyspark.sql import functions as F
+
+from pimbloomfilters_spark.operators import build_partials, probe_key_column
+from pimbloomfilters_spark.operators.sharded import build_bloom_shards
+from pimbloomfilters_spark.sketches import make_sketch
+from pimbloomfilters_spark.sources.tables import tokens_exploded
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan.replace("'", "")
+    # column pruning: scan must read only the two needed columns
+    assert "n_chars" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_vocab_join_broadcasts(spark, sf_dir):
+    plan = _plan(tokens_exploded(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "vocab join must broadcast the tiny dim"
+    assert "SortMergeJoin" not in plan
+
+
+def test_probe_adds_no_shuffle(spark, sf_dir):
+    """Broadcast probe is a pure projection: zero Exchange operators."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sk = make_sketch("bloom", size2=16, nb_hash=4)
+    sk.insert(1)
+    plan = _plan(probe_key_column(customer, sk, "c_custkey"))
+    assert "Exchange" not in plan
+
+
+def test_partial_build_adds_no_shuffle(spark, sf_dir):
+    """Plain partial build = one mapInArrow over the scan, no Exchange;
+    the merge is a collect of KB..MB partials, not a shuffle."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = build_partials(orders, "o_custkey",
+                        functools.partial(make_sketch, "bloom", size2=16, nb_hash=4))
+    assert "Exchange" not in _plan(df)
+
+
+def test_sharded_build_single_exchange(spark, sf_dir):
+    """Sharded build shuffles the DATA exactly once (hash repartition on the
+    shard id); partial bitmaps never shuffle at all."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = build_bloom_shards(orders, "o_custkey", size2=20, nb_hash=4, n_shards=16)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scan_prunes_to_build_column(spark, sf_dir):
+    """The build must not drag unused columns through the scan."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = build_partials(lineitem, "l_partkey",
+                        functools.partial(make_sketch, "hll", p=12))
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_partkey" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
