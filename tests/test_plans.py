@@ -23,16 +23,18 @@ def _optimized(df) -> str:
 
 
 def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    # use a table no other test caches: a cached df would satisfy the query
+    # via InMemoryTableScan and hide the parquet scan under test
     df = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .filter(F.col("lang") == "en")
-        .select("doc_id")
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_nationkey") == 3)
+        .select("s_suppkey")
     )
     plan = _plan(df)
     assert "PushedFilters" in plan
-    assert "EqualTo(lang,en)" in plan.replace("'", "")
+    assert "EqualTo(s_nationkey,3)" in plan.replace("'", "")
     # column pruning: scan must read only the two needed columns
-    assert "n_chars" not in plan.split("ReadSchema")[1][:200]
+    assert "s_name" not in plan.split("ReadSchema")[1][:200]
 
 
 def test_vocab_join_broadcasts(spark, sf_dir):
