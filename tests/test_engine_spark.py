@@ -137,3 +137,25 @@ def test_generator_partitioning_independent(spark):
     a = generate_token_sequences(spark, 500, num_partitions=2)
     b = generate_token_sequences(spark, 500, num_partitions=7)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_nulls_in_keys_and_arrays(spark):
+    """Null rows, null arrays, and null elements must not corrupt builds."""
+    df = spark.createDataFrame(
+        [(1, [1, 2, None]), (2, None), (3, []), (4, [7])],
+        "doc_id long, tokens array<int>",
+    )
+    sk, metrics = build_sketch(df, "tokens", bloom24)
+    assert metrics["n_values"] == 3  # 1,2,7 — the null element is dropped
+    local = bloom24()
+    local.insert_bulk(np.array([1, 2, 7], dtype=np.int64))
+    # null element dropped => only 1,2,7 inserted
+    sk2, m2 = build_sketch(
+        spark.createDataFrame([(1, [1, 2]), (4, [7])], "doc_id long, tokens array<int>"),
+        "tokens", bloom24)
+    assert sk.payload() == sk2.payload() == local.payload()
+
+    keys = spark.createDataFrame([(1,), (None,), (3,)], "k long")
+    skk, mk = build_sketch(keys, "k", bloom24)
+    lk = bloom24(); lk.insert_bulk(np.array([1, 3], dtype=np.int64))
+    assert skk.payload() == lk.payload()
