@@ -25,18 +25,43 @@ _pp = os.environ.get("PYTHONPATH", "")
 if _REPO not in _pp.split(os.pathsep):
     os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{_pp}" if _pp else _REPO
 
+_SHIPPED: set[str] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors via addPyFile — works even when the
+    caller's JVM started before our PYTHONPATH export existed (the env-var
+    route only helps workers spawned with our environment)."""
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(tempfile.gettempdir(),
+                            f"pbf_pkg_{os.getpid()}_{sc.applicationId}")
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(zip_base, "zip", root_dir=_REPO,
+                            base_dir="pimbloomfilters_spark")
+    sc.addPyFile(zip_base + ".zip")
+    _SHIPPED.add(sc.applicationId)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from pimbloomfilters_spark.plans import CATALOG
 
+    _ensure_shipped(spark)
     return CATALOG["bloom_probe_tokens"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pimbloomfilters_spark.plans import queries as _queries
 
-    return _queries()
+    return {
+        name: (lambda s, d, _fn=fn: (_ensure_shipped(s), _fn(s, d))[1])
+        for name, fn in _queries().items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:

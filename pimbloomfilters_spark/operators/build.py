@@ -131,6 +131,35 @@ def merge_partial_rows(rows) -> tuple[Sketch, dict]:
     return sk, metrics
 
 
+def weight_distributed(partials_or_shards: DataFrame,
+                       sketch_col: str = "sketch") -> int:
+    """Popcount as a distributed partial+final SUM — the exact shape of the
+    reference's get_weight (each DPU popcounts its sub-filter, tasklet-0
+    reduces, host sums per rank: ``src/dpu/bloom_filters_dpu.cpp:146-166``,
+    ``src/pim_rankset.cpp:276-290``). Valid on DISJOINT partials (sharded
+    build rows); on overlapping partials the per-partial popcounts
+    over-count shared bits — merge first in that case."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    def _pop(batches):
+        total = 0
+        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint32)
+        for b in batches:
+            for blob in b.column(0):
+                raw = np.frombuffer(blob.as_py(), dtype=np.uint8)
+                total += int(lut[raw].sum(dtype=np.int64))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([total], type=pa.int64())], names=["w"]
+        )
+
+    out = (
+        partials_or_shards.select(sketch_col)
+        .mapInArrow(_pop, "w long").agg(F.sum("w")).collect()[0][0]
+    )
+    return int(out or 0)
+
+
 def build_sketch(
     df: DataFrame,
     col: str,

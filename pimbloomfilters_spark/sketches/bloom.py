@@ -106,12 +106,18 @@ class BlockedBloomFilter(Sketch):
         return bloom_positions(values, self.size2, self.nb_hash, self.seed,
                                self.block_bits)
 
+    # chunk bulk ops so the k-wide position matrix stays cache-sized no
+    # matter how many values one Arrow batch flattens to (a 65k-row batch of
+    # 54-token arrays is 3.5M values -> 28M positions -> ~0.7 GB transients
+    # without chunking; measured ~2x slower)
+    _CHUNK = 1 << 19
+
     # -- build -------------------------------------------------------------------
     def insert_bulk(self, values: np.ndarray) -> None:
         values = np.asarray(values)
-        if values.size == 0:
-            return
-        scatter_or_bits(self._words, self._positions(values))
+        for lo in range(0, values.size, self._CHUNK):
+            chunk = values[lo:lo + self._CHUNK]
+            scatter_or_bits(self._words, self._positions(chunk))
 
     # -- probe --------------------------------------------------------------------
     def contains_bulk(self, values: np.ndarray) -> np.ndarray:
@@ -120,11 +126,15 @@ class BlockedBloomFilter(Sketch):
         values = np.asarray(values)
         if values.size == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._positions(values)
-        words = (pos >> np.uint64(6)).astype(np.int64)
-        bits = np.uint64(1) << (pos & np.uint64(63))
-        hit = (self._words[words] & bits) != 0
-        return hit.reshape(-1, self.nb_hash).all(axis=1)
+        out = np.empty(values.size, dtype=bool)
+        for lo in range(0, values.size, self._CHUNK):
+            chunk = values[lo:lo + self._CHUNK]
+            pos = self._positions(chunk)
+            words = (pos >> np.uint64(6)).astype(np.int64)
+            bits = np.uint64(1) << (pos & np.uint64(63))
+            hit = (self._words[words] & bits) != 0
+            out[lo:lo + chunk.size] = hit.reshape(-1, self.nb_hash).all(axis=1)
+        return out
 
     def contains(self, value) -> bool:
         return bool(self.contains_bulk(np.asarray([value]))[0])

@@ -47,13 +47,14 @@ class CountMinSketch(Sketch):
             g = h1[None, :] + j * h2[None, :]
         return (g % np.uint64(self.width)).astype(np.int64)
 
+    _CHUNK = 1 << 19  # keep the (d, n) index matrix cache-sized
+
     def insert_bulk(self, values: np.ndarray) -> None:
         values = np.asarray(values)
-        if values.size == 0:
-            return
-        idx = self._indexes(values)
-        for d in range(self.depth):  # d is tiny (<=10); inner op is vectorized
-            np.add.at(self._table[d], idx[d], 1)
+        for lo in range(0, values.size, self._CHUNK):
+            idx = self._indexes(values[lo:lo + self._CHUNK])
+            for d in range(self.depth):  # d tiny (<=10); inner op vectorized
+                np.add.at(self._table[d], idx[d], 1)
         self.total += int(values.size)
 
     def query_bulk(self, values: np.ndarray) -> np.ndarray:

@@ -70,3 +70,38 @@ def test_shard_validation():
     with pytest.raises(ValueError):
         # 2^14 bits / 4096 block = 4 blocks < 16 shards
         build_bloom_shards(FakeDF(), "x", size2=14, nb_hash=4, n_shards=16)
+
+
+def test_weight_distributed_matches_merged(spark, keys_df):
+    """Partial+final popcount over disjoint shards == merged get_weight
+    (reference get_weight lifecycle, SURVEY.md §3.3). Envelope bytes include
+    a header, so weight_distributed must consume shard PAYLOADS; shard rows
+    carry raw sub-bitmap bytes — exactly what it expects."""
+    from pimbloomfilters_spark.operators.build import weight_distributed
+
+    shards = build_bloom_shards(keys_df, "id", n_shards=16, **CFG)
+    bf = assemble_bloom(shards.collect(), n_shards=16, **CFG)
+    assert weight_distributed(shards) == bf.get_weight()
+
+
+def test_fpr_block_variant_ordering(spark):
+    """Block-size variants (the reference's CPU 64-bit-block 'cache' filter
+    vs the DPU 512-byte-block filter) at equal (m,k,n): smaller blocks
+    concentrate the k bits more, so the 64-bit variant's measured FPR must
+    be >= the 4096-bit variant's, and each must sit within its own
+    theoretical bound (our bound is block-size-aware)."""
+    import numpy as np
+
+    from pimbloomfilters_spark.sketches import BlockedBloomFilter
+
+    n = 100_000
+    keys = np.arange(n, dtype=np.int64)
+    neg = np.arange(10_000_000, 10_200_000, dtype=np.int64)
+    fprs = {}
+    for bb in (64, 4096):
+        bf = BlockedBloomFilter(size2=21, nb_hash=8, block_bits=bb)
+        bf.insert_bulk(keys)
+        fprs[bb] = bf.contains_bulk(neg).mean()
+        assert fprs[bb] <= 3 * bf.theoretical_fpr_bound(n) + 1e-4, (bb, fprs[bb])
+    # smaller blocks => heavier blocked penalty at equal m,k,n
+    assert fprs[64] >= fprs[4096]
