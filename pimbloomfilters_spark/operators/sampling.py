@@ -1,0 +1,46 @@
+"""Deterministic sampling for training-data pipelines.
+
+Bottom-k / priority sampling: assign every row the priority ``md5(key)`` and
+keep the k smallest. This is a uniform-without-replacement sample that is
+
+- deterministic (same input -> same sample, any partitioning/cluster size),
+- mergeable (bottom-k of a union = bottom-k of the per-partition bottom-ks —
+  the same partial+final shape as every sketch here), and
+- oracle-exact: md5 hex is identical in Spark and DuckDB, so the gate can
+  reproduce the sample byte-for-byte (a seeded RNG sample could not be).
+
+Spark executes this as a TakeOrderedAndProject (per-partition top-k heap +
+driver k-way merge) — no global sort, shuffle is O(partitions x k).
+
+``stratified_sample_exact`` keeps k per stratum via a window rank — the
+per-source variant a skewed corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _priority(key_col: str):
+    return F.md5(F.col(key_col).cast("string"))
+
+
+def uniform_sample(df: DataFrame, k: int, key_col: str) -> DataFrame:
+    """k-row uniform sample, deterministic by md5(key) priority."""
+    return (
+        df.withColumn("_pri", _priority(key_col))
+        .orderBy("_pri")
+        .limit(k)
+        .drop("_pri")
+    )
+
+
+def stratified_sample(df: DataFrame, k_per_stratum: int, key_col: str,
+                      stratum_col: str) -> DataFrame:
+    """k rows per stratum (e.g. per source), same deterministic priority."""
+    w = Window.partitionBy(stratum_col).orderBy(_priority(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_per_stratum)
+        .drop("_rn")
+    )

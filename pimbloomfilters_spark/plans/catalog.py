@@ -392,10 +392,12 @@ CATALOG["checkpoint_resume"] = QuerySpec(
 
 def _register_pipeline_catalog() -> None:
     from .analytics_catalog import ANALYTICS_CATALOG
+    from .events_catalog import EVENTS_CATALOG
     from .pipeline_catalog import PIPELINE_CATALOG
 
     CATALOG.update(PIPELINE_CATALOG)
     CATALOG.update(ANALYTICS_CATALOG)
+    CATALOG.update(EVENTS_CATALOG)
 
 
 _register_pipeline_catalog()

@@ -1,0 +1,99 @@
+"""Catalog entries over the events table (timestamps + user activity) and the
+sampling operators — all oracle-exact."""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import build_sketch
+from ..operators.sampling import stratified_sample, uniform_sample
+from ..sketches import make_sketch
+from ..sources.tables import load_table
+from .catalog import QuerySpec
+
+
+def q_events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour event counts (the batch shape of the streaming windowed
+    aggregation in streaming/stream_build.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    # hour as a canonical string: timestamp dtypes/precisions differ between
+    # engines' pandas conversions; strings compare exactly
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        ).agg(F.count("*").alias("n"))
+    )
+
+
+_ORACLE_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: HLL estimate within bound + exact."""
+    ev = load_table(spark, sf_dir, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    rows = []
+    for t in sorted(types):
+        sub = ev.filter(F.col("event_type") == t).select(
+            F.xxhash64(F.col("user_id")).alias("h")
+        )
+        sk, _ = build_sketch(sub, "h", functools.partial(make_sketch, "hll", p=14))
+        exact = ev.filter(F.col("event_type") == t).select("user_id").distinct().count()
+        ok = abs(sk.estimate() - exact) <= 4 * sk.relative_error() * max(exact, 1)
+        rows.append((t, exact, bool(ok)))
+    return spark.createDataFrame(
+        rows, "event_type string, exact_users bigint, within_bound boolean"
+    )
+
+
+_ORACLE_USER_DISTINCT = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return uniform_sample(docs, 50, "doc_id").select("doc_id", "source")
+
+
+_ORACLE_UNIFORM = """
+SELECT doc_id, source FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, 5, "doc_id", "source").select("doc_id", "source")
+
+
+_ORACLE_STRATIFIED = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+EVENTS_CATALOG: dict[str, QuerySpec] = {
+    "events_hourly_counts": QuerySpec(q_events_hourly_counts, _ORACLE_HOURLY,
+                                      "tumbling-hour event counts"),
+    "events_user_distinct": QuerySpec(q_events_user_distinct, _ORACLE_USER_DISTINCT,
+                                      "per-type distinct users: HLL within bound"),
+    "uniform_sample": QuerySpec(q_uniform_sample, _ORACLE_UNIFORM,
+                                "deterministic bottom-k uniform sample"),
+    "stratified_sample": QuerySpec(q_stratified_sample, _ORACLE_STRATIFIED,
+                                   "deterministic k-per-source stratified sample"),
+}

@@ -156,11 +156,36 @@ class BlockedBloomFilter(Sketch):
         lut = BlockedBloomFilter._POPCNT16
         return int(lut[self._words.view(np.uint16)].sum(dtype=np.int64))
 
-    # -- merge ------------------------------------------------------------------------
+    # -- merge / set algebra ------------------------------------------------------------
     def merge(self, other: "BlockedBloomFilter") -> "BlockedBloomFilter":
         self._check_mergeable(other)
         np.bitwise_or(self._words, other._words, out=self._words)
         return self
+
+    def union(self, other: "BlockedBloomFilter") -> "BlockedBloomFilter":
+        """Out-of-place union: exactly the filter of the concatenated inputs."""
+        out = BlockedBloomFilter(**self.config())
+        np.bitwise_or(self._words, other._words, out=out._words)
+        return out
+
+    def intersect(self, other: "BlockedBloomFilter") -> "BlockedBloomFilter":
+        """Approximate intersection via bitwise AND. Unlike union this is NOT
+        exactly the filter of the intersected sets: AND keeps bits that both
+        sides set for different items, so it still has no false negatives for
+        the true intersection but a higher FPR than a filter built from it
+        directly (standard Bloom set-algebra caveat)."""
+        out = BlockedBloomFilter(**self.config())
+        np.bitwise_and(self._words, other._words, out=out._words)
+        return out
+
+    def estimate_cardinality(self) -> float:
+        """Swamidass–Baldi estimate from the fill ratio:
+        n ~ -(m/k) * ln(1 - X/m), X = popcount. Valid while the filter is not
+        saturated; for serious cardinality work use the HLL sketch."""
+        x = self.get_weight()
+        if x >= self.m_bits:
+            return float("inf")
+        return -(self.m_bits / self.nb_hash) * math.log(1.0 - x / self.m_bits)
 
     # -- serialization -------------------------------------------------------------------
     def config(self) -> dict[str, Any]:

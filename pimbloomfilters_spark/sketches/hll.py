@@ -87,6 +87,18 @@ class HyperLogLog(Sketch):
         np.maximum(self._regs, other._regs, out=self._regs)
         return self
 
+    def union(self, other: "HyperLogLog") -> "HyperLogLog":
+        out = HyperLogLog(**self.config())
+        np.maximum(self._regs, other._regs, out=out._regs)
+        return out
+
+    def intersection_estimate(self, other: "HyperLogLog") -> float:
+        """Inclusion–exclusion: |A ∩ B| ~ est(A) + est(B) - est(A ∪ B).
+        Error grows when the intersection is small relative to the union
+        (differences of estimates) — standard HLL caveat."""
+        return max(0.0, self.estimate() + other.estimate()
+                   - self.union(other).estimate())
+
     def config(self) -> dict[str, Any]:
         return {"p": self.p, "seed": self.seed}
 

@@ -205,3 +205,34 @@ def test_tdigest_centroid_budget():
     td.insert_bulk(np.arange(500_000, dtype=np.float64))
     td._compress()
     assert td._means.size <= 2 * td.delta
+
+
+# ---------------------------------------------------------------- set algebra
+def test_bloom_set_algebra():
+    from pimbloomfilters_spark.sketches import BlockedBloomFilter
+
+    a = BlockedBloomFilter(size2=20, nb_hash=8)
+    b = BlockedBloomFilter(size2=20, nb_hash=8)
+    a.insert_bulk(np.arange(0, 30_000, dtype=np.int64))
+    b.insert_bulk(np.arange(20_000, 50_000, dtype=np.int64))
+    u = a.union(b)
+    assert u.contains_bulk(np.arange(0, 50_000, dtype=np.int64)).all()
+    one = BlockedBloomFilter(size2=20, nb_hash=8)
+    one.insert_bulk(np.arange(0, 50_000, dtype=np.int64))
+    assert u.payload() == one.payload()
+    i = a.intersect(b)
+    # no false negatives for the true intersection
+    assert i.contains_bulk(np.arange(20_000, 30_000, dtype=np.int64)).all()
+    # cardinality estimate within 5% at this fill ratio
+    est = a.estimate_cardinality()
+    assert abs(est - 30_000) <= 0.05 * 30_000, est
+
+
+def test_hll_intersection_estimate():
+    a, b = HyperLogLog(p=14), HyperLogLog(p=14)
+    a.insert_bulk(np.arange(0, 60_000, dtype=np.int64))
+    b.insert_bulk(np.arange(40_000, 100_000, dtype=np.int64))
+    inter = a.intersection_estimate(b)
+    # true intersection 20k; inclusion-exclusion compounds ~3 estimates
+    assert abs(inter - 20_000) <= 0.1 * 20_000, inter
+    assert abs(a.union(b).estimate() - 100_000) <= 4 * a.relative_error() * 100_000
