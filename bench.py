@@ -27,7 +27,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_KEYS = int(os.environ.get("PBF_BENCH_KEYS", str(10_000_000)))
 N_NEG = int(os.environ.get("PBF_BENCH_NEGATIVES", str(1_000_000)))
 SIZE2 = int(os.environ.get("PBF_BENCH_SIZE2", "27"))
-REPS = int(os.environ.get("PBF_BENCH_REPS", "1"))
+REPS = int(os.environ.get("PBF_BENCH_REPS", "2"))
 
 
 def _best_of(fn, reps=None):

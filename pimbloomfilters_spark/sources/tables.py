@@ -40,9 +40,19 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# several catalog queries derive the same token table in one session; keep
+# one persisted copy per (session, sf_dir) so the gate doesn't recompute the
+# explode+vocab join six times
+_TOK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def tokens_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, pos, token_id) — one row per token occurrence.
     pos is 1-based to match the DuckDB oracle's generate_series(1, len)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TOK_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     vocab = vocab_table(spark, sf_dir)
     words = docs.select(
@@ -50,9 +60,11 @@ def tokens_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split("text", " ")).alias("pos0", "word"),
     ).withColumn("pos", (F.col("pos0") + 1).cast("int")).drop("pos0")
     # vocab is tiny -> explicit broadcast: the big side never shuffles
-    return words.join(F.broadcast(vocab), "word").select(
+    out = words.join(F.broadcast(vocab), "word").select(
         "doc_id", "source", "pos", "token_id"
-    )
+    ).persist()
+    _TOK_CACHE[key] = out
+    return out
 
 
 def token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
