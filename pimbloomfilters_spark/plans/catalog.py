@@ -200,6 +200,42 @@ ORDER BY cnt DESC, token_id ASC LIMIT 10
 """
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries complement of the CMS query: same exact top-10, with the
+    MG one-sided UNDER-estimate guarantees (est <= true, true - est <= N/(k+1),
+    every above-threshold item present)."""
+    tok = tokens_exploded(spark, sf_dir)
+    sk, _ = build_sketch(
+        tok, "token_id", functools.partial(make_sketch, "mg", k=256)
+    )
+    top = (
+        tok.groupBy("token_id").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token_id")).limit(10).collect()
+    )
+    rows = []
+    for r in top:
+        est = sk.query(int(r["token_id"]))
+        rows.append((
+            int(r["token_id"]), int(r["cnt"]),
+            bool(est <= r["cnt"]),
+            bool(r["cnt"] - est <= sk.error_bound() + 1e-9),
+            bool(est > 0 if r["cnt"] > sk.error_bound() else True),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "token_id int, cnt bigint, mg_le_true boolean, mg_within_band boolean, "
+        "mg_present boolean",
+    )
+
+
+_ORACLE_MG = TOKENS_ORACLE_CTE + """
+SELECT token_id, CAST(count(*) AS BIGINT) AS cnt,
+       TRUE AS mg_le_true, TRUE AS mg_within_band, TRUE AS mg_present
+FROM tok GROUP BY token_id
+ORDER BY cnt DESC, token_id ASC LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # 5. KLL quantiles over n_tok
 # --------------------------------------------------------------------------
@@ -308,6 +344,10 @@ CATALOG: dict[str, QuerySpec] = {
     "cms_heavy_hitters": QuerySpec(
         q_cms_heavy_hitters, _ORACLE_CMS,
         "count-min top-10 heavy hitters: one-sided error within eps*N",
+    ),
+    "mg_heavy_hitters": QuerySpec(
+        q_mg_heavy_hitters, _ORACLE_MG,
+        "Misra-Gries top-10: under-estimates within N/(k+1), all present",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,

@@ -13,6 +13,7 @@ from .bloom import BlockedBloomFilter
 from .hll import HyperLogLog
 from .cms import CountMinSketch
 from .kll import KLLSketch
+from .mg import MisraGries
 from .tdigest import TDigest
 from .factory import make_sketch, SKETCH_KINDS
 
@@ -24,6 +25,7 @@ __all__ = [
     "CountMinSketch",
     "KLLSketch",
     "TDigest",
+    "MisraGries",
     "make_sketch",
     "SKETCH_KINDS",
 ]

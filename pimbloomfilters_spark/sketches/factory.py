@@ -9,6 +9,7 @@ from .bloom import BlockedBloomFilter
 from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLLSketch
+from .mg import MisraGries
 from .tdigest import TDigest
 
 SKETCH_KINDS = {
@@ -17,6 +18,7 @@ SKETCH_KINDS = {
     "cms": CountMinSketch,
     "kll": KLLSketch,
     "tdigest": TDigest,
+    "mg": MisraGries,
 }
 
 

@@ -77,6 +77,62 @@ def sketch_stream_query(
     return writer.start()
 
 
+def dedup_stream_query(
+    stream_df: DataFrame,
+    key_col: str,
+    out_path: str,
+    checkpoint_dir: str,
+    size2: int = 26,
+    nb_hash: int = 8,
+    name: str = "bloom_dedup",
+):
+    """Streaming drop-already-seen filter: every micro-batch is probed against
+    a running Bloom filter of all keys seen so far; unseen rows are appended
+    to ``out_path`` and their keys inserted. First occurrences always pass
+    (no false negatives => nothing is wrongly treated as seen... the
+    guarantee is the reverse of exact dedup's: a false POSITIVE drops a
+    first occurrence with probability = FPR, the standard approximate-dedup
+    trade — size the filter for the expected key cardinality).
+    """
+    import functools as _ft
+
+    from ..operators.build import build_partials, merge_partial_rows
+    from ..operators.probe import probe_key_column
+    from ..sketches import make_sketch
+
+    _RUNNING.pop(name, None)
+    factory = _ft.partial(make_sketch, "bloom", size2=size2, nb_hash=nb_hash)
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seen = _RUNNING.get(name)
+        if seen is None:
+            fresh = batch_df
+        else:
+            fresh = probe_key_column(batch_df, seen, key_col).filter(
+                ~F.col("member")
+            ).drop("member")
+        # exact within-batch dedup (the filter only learns keys after the
+        # whole batch); cross-batch dedup is the Bloom's job
+        fresh = fresh.dropDuplicates([key_col]).persist()
+        fresh.write.mode("append").parquet(out_path)
+        partial, _ = merge_partial_rows(
+            build_partials(fresh, key_col, factory).collect()
+        )
+        _RUNNING[name] = partial if seen is None else seen.merge(partial)
+        fresh.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_step)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 _WINDOW_OUT = StructType(
     [
         StructField("window_start", TimestampType()),

@@ -236,3 +236,47 @@ def test_hll_intersection_estimate():
     # true intersection 20k; inclusion-exclusion compounds ~3 estimates
     assert abs(inter - 20_000) <= 0.1 * 20_000, inter
     assert abs(a.union(b).estimate() - 100_000) <= 4 * a.relative_error() * 100_000
+
+
+# ---------------------------------------------------------------- Misra-Gries
+def test_mg_guarantees():
+    from pimbloomfilters_spark.sketches import MisraGries, sketch_from_bytes
+
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.3, size=300_000)
+    vals = vals[vals < 50_000].astype(np.int64)
+    mg = MisraGries(k=128)
+    for chunk in np.array_split(vals, 23):
+        mg.insert_bulk(chunk)
+    uniq, true_counts = np.unique(vals, return_counts=True)
+    est = mg.query_bulk(uniq)
+    # one-sided UNDER-estimate within n/(k+1)
+    assert (est <= true_counts).all()
+    assert (true_counts - est <= mg.error_bound() + 1e-9).all()
+    # completeness: every item above the threshold is present
+    thr = mg.error_bound()
+    for t, c in zip(uniq.tolist(), true_counts.tolist()):
+        if c > thr:
+            assert mg.query(t) > 0, (t, c, thr)
+    # roundtrip
+    back = sketch_from_bytes(mg.to_bytes())
+    assert back.n == mg.n and back.query(int(uniq[0])) == mg.query(int(uniq[0]))
+
+
+def test_mg_merge_preserves_bound():
+    from pimbloomfilters_spark.sketches import MisraGries
+
+    rng = np.random.default_rng(13)
+    vals = rng.zipf(1.5, size=200_000)
+    vals = vals[vals < 10_000].astype(np.int64)
+    parts = np.array_split(vals, 8)
+    merged = None
+    for p in parts:
+        mg = MisraGries(k=128)
+        mg.insert_bulk(p)
+        merged = mg if merged is None else merged.merge(mg)
+    uniq, true_counts = np.unique(vals, return_counts=True)
+    est = merged.query_bulk(uniq)
+    assert (est <= true_counts).all()
+    assert (true_counts - est <= merged.error_bound() + 1e-9).all()
+    assert merged.n == len(vals)

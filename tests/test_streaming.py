@@ -65,3 +65,29 @@ def test_windowed_distinct_stream(spark, sf_dir, tmp_path_factory):
     for w, d in exact.items():
         assert w in got
         assert abs(got[w] - d) <= max(4 * 1.04 / (2**12) ** 0.5 * d, 3), (w, got[w], d)
+
+
+def test_dedup_stream(spark, tmp_path_factory):
+    """Streaming bloom dedup: duplicated keys across micro-batches are
+    dropped; first occurrences survive (FPR sized to ~0 for the key count)."""
+    from pimbloomfilters_spark.streaming.stream_build import dedup_stream_query
+
+    data_dir = str(tmp_path_factory.mktemp("dd_in"))
+    out_dir = str(tmp_path_factory.mktemp("dd_out")) + "/result"
+    ckpt = str(tmp_path_factory.mktemp("dd_ckpt"))
+    # 3 files, each with keys 0..999 plus a disjoint fresh range
+    for i in range(3):
+        spark.range(0, 1000).union(
+            spark.range(10_000 + i * 1000, 10_000 + (i + 1) * 1000)
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1).parquet(data_dir)
+    )
+    q = dedup_stream_query(stream, "id", out_dir, ckpt, size2=24)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    # 1000 shared keys kept exactly once + 3x1000 fresh keys
+    assert got.count() == 4000
+    assert got.select("id").distinct().count() == 4000
