@@ -136,6 +136,23 @@ def run_bench() -> dict:
     timings["ntok_build_kll"] = time.perf_counter() - t0
     toks.unpersist()
 
+    # ---- FPR-vs-bound sweep over the (scaled) reference grid (SURVEY §7) -------
+    import numpy as np
+
+    from pimbloomfilters_spark.sketches import BlockedBloomFilter
+
+    neg = np.arange(2_000_000_000, 2_000_500_000, dtype=np.int64)
+    fpr_sweep = []
+    for size2, n, k in [(22, 100_000, 8), (22, 400_000, 8), (24, 400_000, 8),
+                        (24, 1_600_000, 8), (22, 400_000, 4), (22, 400_000, 1)]:
+        bf = BlockedBloomFilter(size2=size2, nb_hash=k)
+        bf.insert_bulk(np.arange(n, dtype=np.int64))
+        fpr_sweep.append({
+            "size2": size2, "k": k, "n": n,
+            "measured": round(float(bf.contains_bulk(neg).mean()), 7),
+            "bound": round(bf.theoretical_fpr_bound(n), 7),
+        })
+
     # ---- oracle-gated catalog queries at SF_DIR ---------------------------------
     for name, spec in CATALOG.items():
         t0 = time.perf_counter()
@@ -154,6 +171,7 @@ def run_bench() -> dict:
         "n_bench_tokens": int(n_tokens),
         "throughput": {k: round(v, 2) for k, v in throughput.items()},
         "fpr": fpr,
+        "fpr_sweep": fpr_sweep,
     }
 
 

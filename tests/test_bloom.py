@@ -115,3 +115,19 @@ def test_fpr_within_blocked_bound_sweep():
     fpr = bf.contains_bulk(neg).mean()
     bound = bf.theoretical_fpr_bound(n)
     assert fpr <= 2.0 * bound + 1e-4, (fpr, bound)
+
+
+@pytest.mark.parametrize("k", [1, 4, 8])
+def test_fpr_grid_vs_bound(k):
+    """BASELINE metric: measured FPR within the theoretical bound across the
+    reference's geometry grid (scaled from its m=2^30..33, n=10M/100M runs to
+    the same load ratios at test size)."""
+    rng_negatives = np.arange(50_000_000, 50_200_000, dtype=np.int64)
+    for size2, n in [(20, 20_000), (20, 100_000), (22, 100_000), (22, 400_000)]:
+        bf = BlockedBloomFilter(size2=size2, nb_hash=k)
+        bf.insert_bulk(np.arange(n, dtype=np.int64))
+        measured = bf.contains_bulk(rng_negatives).mean()
+        bound = bf.theoretical_fpr_bound(n)
+        # allow binomial noise: 3 sigma on 200k probes plus 50% model slack
+        sigma = (bound / len(rng_negatives)) ** 0.5
+        assert measured <= 1.5 * bound + 3 * sigma + 2e-5, (size2, k, n, measured, bound)
