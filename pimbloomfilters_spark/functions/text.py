@@ -88,49 +88,61 @@ def doc_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", F.md5(F.col(text_col)).alias("fingerprint"))
 
 
-_FP_MOD = np.uint64((1 << 61) - 1)
-_FP_BASE = np.uint64(257)
+# Modulus 2^31-1 (Mersenne prime) keeps every intermediate EXACT in 64-bit
+# integer math on both engines: byte (<2^8) * power (<2^31) < 2^39, and a
+# window-sum of 16 such products < 2^43 — no wraparound, so the same values
+# are reproducible in DuckDB BIGINT arithmetic (the oracle recomputes them).
+_FP_MOD = (1 << 31) - 1
+_FP_BASE = 257
+
+
+def fp_coefficients(window: int) -> list[int]:
+    """Karp–Rabin coefficients: coefficient of the byte at window offset i is
+    base^(window-1-i) mod p, so hash = sum(byte[i] * coeff[i]) mod p."""
+    pw = [1] * window
+    for i in range(1, window):
+        pw[i] = (pw[i - 1] * _FP_BASE) % _FP_MOD
+    return pw[::-1]
 
 
 def rolling_fingerprints(df: DataFrame, text_col: str = "text",
                          window: int = 16, keep: int = 8) -> DataFrame:
     """Karp–Rabin rolling-hash document fingerprints (winnowing-lite): hash
-    every ``window``-byte window of the text mod 2^61-1, keep the ``keep``
+    every ``window``-byte window of the text mod 2^31-1, keep the ``keep``
     smallest distinct window hashes as the doc signature. Shared windows =>
     shared signature entries, the standard near-dup fingerprint primitive.
-    Vectorized: per batch, one flat byte array + cumulative powers (no
-    per-char Python)."""
+
+    Output is exploded scalar rows (doc_id, fp_rank, fingerprint) with
+    fp_rank the 1-based rank of the fingerprint among the doc's kept set
+    (ascending) — scalar-typed so the result is exactly comparable (and
+    oracle-checkable via the same polynomial recomputed in SQL; see
+    plans/pipeline_catalog.py). Docs shorter than ``window`` emit no rows."""
 
     def _fp(batches):
-        # precompute base powers once per task
-        pw = np.ones(window, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i in range(1, window):
-                pw[i] = (pw[i - 1] * _FP_BASE) % _FP_MOD
+        coeffs = np.array(fp_coefficients(window), dtype=np.int64)
         for b in batches:
             texts = b.column(1).to_pylist()
-            ids = b.column(0)
-            sigs = []
-            for t in texts:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            out_id, out_rank, out_fp = [], [], []
+            for did, t in zip(ids, texts):
                 raw = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
                 if raw.size < window:
-                    sigs.append([])
                     continue
-                n = raw.size - window + 1
-                # windows matrix via stride trick, then dot with powers mod p
                 w = np.lib.stride_tricks.sliding_window_view(raw, window)
-                with np.errstate(over="ignore"):
-                    acc = np.zeros(n, dtype=np.uint64)
-                    for i in range(window):  # window is small (16): 16 vec ops
-                        acc = (acc + w[:, i].astype(np.uint64) * pw[window - 1 - i]) % _FP_MOD
-                uniq = np.unique(acc)
-                sigs.append(uniq[:keep].astype(np.int64).tolist())
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(sigs, type=pa.list_(pa.int64()))],
-                names=["doc_id", "fingerprints"],
-            )
+                acc = (w.astype(np.int64) @ coeffs) % _FP_MOD
+                uniq = np.unique(acc)[:keep]
+                out_id.append(np.full(uniq.size, did, dtype=np.int64))
+                out_rank.append(np.arange(1, uniq.size + 1, dtype=np.int32))
+                out_fp.append(uniq)
+            if out_id:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_id)),
+                     pa.array(np.concatenate(out_rank)),
+                     pa.array(np.concatenate(out_fp))],
+                    names=["doc_id", "fp_rank", "fingerprint"],
+                )
 
-    id_type = dict(df.dtypes)["doc_id"]
     return df.select("doc_id", text_col).mapInArrow(
-        _fp, f"doc_id {id_type}, fingerprints array<long>"
+        _fp, "doc_id long, fp_rank int, fingerprint long"
     )

@@ -51,10 +51,11 @@ def _build_bucket_partials(df: DataFrame, col: str, key_col: str,
     kind = make().kind
 
     def _build(batches: Iterable[pa.RecordBatch]) -> Iterable[pa.RecordBatch]:
-        t0 = time.perf_counter()
         sketches: dict[int, Sketch] = {}
         rows: dict[int, int] = {}
         vals: dict[int, int] = {}
+        ms: dict[int, float] = {}  # per-bucket insert time: build_ms_sum must
+        # total actual work, not partition wall time x buckets-per-partition
         for b in batches:
             buckets = b.column(1).to_numpy(zero_copy_only=False)
             data = b.column(0)
@@ -73,11 +74,13 @@ def _build_bucket_partials(df: DataFrame, col: str, key_col: str,
                 if sk is None:
                     sk = sketches[bk] = make()
                     rows[bk] = vals[bk] = 0
+                    ms[bk] = 0.0
+                t0 = time.perf_counter()
                 sk.insert_bulk(v)
+                ms[bk] += (time.perf_counter() - t0) * 1000.0
                 rows[bk] += bounds[i + 1] - bounds[i]
                 vals[bk] += int(v.size)
         if sketches:
-            ms = (time.perf_counter() - t0) * 1000.0
             ks = sorted(sketches)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -87,7 +90,7 @@ def _build_bucket_partials(df: DataFrame, col: str, key_col: str,
                     pa.array([sketches[k].to_bytes() for k in ks], type=pa.binary()),
                     pa.array([rows[k] for k in ks], type=pa.int64()),
                     pa.array([vals[k] for k in ks], type=pa.int64()),
-                    pa.array([ms] * len(ks), type=pa.float64()),
+                    pa.array([ms[k] for k in ks], type=pa.float64()),
                 ],
                 names=["build_id", "bucket", "sketch_kind", "sketch",
                        "n_rows", "n_values", "build_ms"],

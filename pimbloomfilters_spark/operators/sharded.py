@@ -47,6 +47,21 @@ def _shard_expr(col: str, shard_bits: int):
     return F.shiftrightunsigned(F.xxhash64(F.col(col)), 64 - shard_bits)
 
 
+def _check_routable_seed(seed: int) -> None:
+    """JVM-side shard routing uses F.xxhash64, whose seed is fixed at Spark's
+    default (42). bloom_positions derives the block (hence shard) from
+    xxh64(key, seed) — with any other seed, probes would be cogrouped with
+    the WRONG shard bitmap (wrong membership / index underflow). Fail fast."""
+    from ..hashing import DEFAULT_SEED
+
+    if seed != DEFAULT_SEED:
+        raise ValueError(
+            f"sharded build/probe requires seed={DEFAULT_SEED} (Spark's fixed "
+            f"xxhash64 seed, used for JVM-side shard routing); got {seed}. "
+            "Use the non-sharded build_sketch path for custom seeds."
+        )
+
+
 def build_bloom_shards(
     df: DataFrame,
     col: str,
@@ -59,6 +74,7 @@ def build_bloom_shards(
     """DataFrame[shard int, sketch binary, n_values long]: one disjoint
     bit-range sub-filter per shard. Requires n_shards <= m/block_bits so shard
     boundaries are block-aligned."""
+    _check_routable_seed(seed)
     m_bits = 1 << size2
     if n_shards & (n_shards - 1):
         raise ValueError("n_shards must be a power of two")
@@ -149,6 +165,7 @@ def probe_bloom_distributed(
     with the one shard bitmap that covers them. The filter can be arbitrarily
     large — each task touches m/n_shards bits. Missing shard bitmap (no
     inserts landed there) => definitely-absent => member=false."""
+    _check_routable_seed(seed)
     m_bits = 1 << size2
     shard_bits = int(math.log2(n_shards))
     shard_size_bits = m_bits // n_shards

@@ -75,8 +75,40 @@ _ORACLE_MD5 = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: Karp-Rabin window hashes are not expressible in DuckDB SQL
     return text.rolling_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB recomputes the identical Karp–Rabin polynomial: the corpus is pure
+# ASCII (verified: octet_length(encode(text)) == length(text) at every sf),
+# so character positions == byte positions and ascii(substr(...)) == the
+# byte numpy hashes. Coefficients are < 2^31 and bytes < 2^8, so every
+# product (< 2^39) and 16-term window sum (< 2^43) is exact in BIGINT —
+# matching the numpy int64 path bit-for-bit.
+_FP_W, _FP_KEEP = 16, 8
+_FP_COEFFS = "[" + ",".join(str(c) for c in text.fp_coefficients(_FP_W)) + "]"
+
+_ORACLE_ROLLING_FP = f"""
+WITH pos AS (
+  SELECT d.doc_id, d.text, g.pos
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(
+                1, greatest(length(d.text) - {_FP_W - 1}, 0))) AS pos) g
+),
+hashes AS (
+  SELECT DISTINCT doc_id,
+         list_sum(list_transform(generate_series(0, {_FP_W - 1}),
+             i -> CAST(ascii(substr(text, pos + i, 1)) AS BIGINT)
+                  * {_FP_COEFFS}[i + 1])) % {text._FP_MOD} AS fingerprint
+  FROM pos
+),
+ranked AS (
+  SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY fingerprint) AS INT) AS fp_rank
+  FROM hashes
+)
+SELECT doc_id, fp_rank, fingerprint FROM ranked WHERE fp_rank <= {_FP_KEEP}
+"""
 
 
 # ----------------------------------------------------------------- dedup
@@ -197,8 +229,8 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "doc_fingerprint_md5": QuerySpec(q_doc_md5, _ORACLE_MD5,
                                      "content-hash fingerprint"),
     "doc_rolling_fingerprints": QuerySpec(
-        q_rolling_fingerprints, None,
-        "Karp-Rabin rolling-hash winnowing signature (rows-only)"),
+        q_rolling_fingerprints, _ORACLE_ROLLING_FP,
+        "Karp-Rabin rolling-hash winnowing signature, exact vs SQL polynomial"),
     "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT,
                              "exact dedup: kept representative per content group"),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, _JACCARD_CTE,

@@ -82,7 +82,8 @@ def generate_pdf(ids: np.ndarray, mean_len: float = 54.0) -> pd.DataFrame:
 
 def generate_token_sequences(spark: SparkSession, n_rows: int,
                              mean_len: float = 54.0,
-                             num_partitions: int | None = None) -> DataFrame:
+                             num_partitions: int | None = None,
+                             start_id: int = 0) -> DataFrame:
     """Distributed deterministic generation: spark.range -> mapInPandas.
     Content depends only on row ids, never on partitioning."""
 
@@ -90,5 +91,5 @@ def generate_token_sequences(spark: SparkSession, n_rows: int,
         for pdf in batches:
             yield generate_pdf(pdf["id"].to_numpy(), mean_len)
 
-    rng = spark.range(0, n_rows, numPartitions=num_partitions)
+    rng = spark.range(start_id, start_id + n_rows, numPartitions=num_partitions)
     return rng.mapInPandas(_gen, schema=TOKEN_SCHEMA)

@@ -21,6 +21,7 @@ Two shapes:
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -41,10 +42,70 @@ from ..sketches import Sketch, sketch_from_bytes
 
 # driver-side registry of running sketches, keyed by query name
 _RUNNING: dict[str, Sketch] = {}
+# highest batch id whose contribution is already inside the persisted snapshot
+_PERSISTED_BATCH: dict[str, int] = {}
 
 
 def get_stream_sketch(name: str) -> Sketch | None:
     return _RUNNING.get(name)
+
+
+# -- durable sketch snapshots -------------------------------------------------
+# Structured Streaming durably commits batch OFFSETS to checkpointLocation;
+# the running sketch must be equally durable or a driver restart resumes past
+# committed batches with an empty sketch (silently losing every prior key).
+# Snapshot-per-batch next to the checkpoint dir: write temp + atomic rename,
+# reload the newest on start, and skip re-merging any replayed batch whose id
+# is already covered by the loaded snapshot (making CMS/KLL replays exactly-
+# once as well). Local-filesystem checkpoints only (this sandbox); an object-
+# store deployment would swap these two helpers for put/list calls.
+
+def _state_dir(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir.removeprefix("file:"), "sketch_state")
+
+
+def load_persisted_sketch(checkpoint_dir: str) -> tuple[Sketch | None, int]:
+    """(sketch, batch_id) of the newest snapshot, or (None, -1)."""
+    d = _state_dir(checkpoint_dir)
+    best, path = -1, None
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return None, -1
+    for f in names:
+        if f.startswith("batch_") and f.endswith(".bin"):
+            bid = int(f[6:-4])
+            if bid > best:
+                best, path = bid, os.path.join(d, f)
+    if path is None:
+        return None, -1
+    with open(path, "rb") as fh:
+        return sketch_from_bytes(fh.read()), best
+
+
+def persist_sketch(checkpoint_dir: str, batch_id: int, sk: Sketch) -> None:
+    d = _state_dir(checkpoint_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".batch_{batch_id}.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(sk.to_bytes())
+    os.replace(tmp, os.path.join(d, f"batch_{batch_id:012d}.bin"))
+    stale = sorted(
+        f for f in os.listdir(d) if f.startswith("batch_") and f.endswith(".bin")
+    )[:-2]  # keep the two newest snapshots
+    for f in stale:
+        try:
+            os.remove(os.path.join(d, f))
+        except OSError:
+            pass
+
+
+def _resume_state(name: str, checkpoint_dir: str) -> None:
+    _RUNNING.pop(name, None)
+    sk, bid = load_persisted_sketch(checkpoint_dir)
+    _PERSISTED_BATCH[name] = bid
+    if sk is not None:
+        _RUNNING[name] = sk
 
 
 def sketch_stream_query(
@@ -56,15 +117,23 @@ def sketch_stream_query(
     trigger_available_now: bool = True,
 ):
     """Start a streaming query that folds every micro-batch into a running
-    sketch (driver-held, readable via ``get_stream_sketch(name)``)."""
-    _RUNNING.pop(name, None)
+    sketch (readable via ``get_stream_sketch(name)``). The running sketch is
+    snapshotted per batch next to the checkpoint and reloaded on start, so a
+    driver restart resumes with all prior keys; replayed batches already in
+    the snapshot are skipped (exactly-once for every sketch kind)."""
+    _resume_state(name, checkpoint_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _PERSISTED_BATCH.get(name, -1):
+            return  # replay of a batch the loaded snapshot already contains
         if batch_df.isEmpty():
             return
         partial, _ = merge_partial_rows(build_partials(batch_df, col, make).collect())
         cur = _RUNNING.get(name)
-        _RUNNING[name] = partial if cur is None else cur.merge(partial)
+        sk = partial if cur is None else cur.merge(partial)
+        _RUNNING[name] = sk
+        persist_sketch(checkpoint_dir, batch_id, sk)
+        _PERSISTED_BATCH[name] = batch_id
 
     writer = (
         stream_df.writeStream.foreachBatch(_fold)
@@ -93,6 +162,12 @@ def dedup_stream_query(
     guarantee is the reverse of exact dedup's: a false POSITIVE drops a
     first occurrence with probability = FPR, the standard approximate-dedup
     trade — size the filter for the expected key cardinality).
+
+    The 'seen' filter is snapshotted per batch and reloaded on restart (see
+    the durable-snapshot helpers above), so resumed streams keep deduping
+    against everything already emitted. A batch replayed after its parquet
+    write but before the offset commit can still duplicate output rows —
+    standard foreachBatch at-least-once for the sink side.
     """
     import functools as _ft
 
@@ -100,10 +175,12 @@ def dedup_stream_query(
     from ..operators.probe import probe_key_column
     from ..sketches import make_sketch
 
-    _RUNNING.pop(name, None)
+    _resume_state(name, checkpoint_dir)
     factory = _ft.partial(make_sketch, "bloom", size2=size2, nb_hash=nb_hash)
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _PERSISTED_BATCH.get(name, -1):
+            return
         if batch_df.isEmpty():
             return
         seen = _RUNNING.get(name)
@@ -116,11 +193,17 @@ def dedup_stream_query(
         # exact within-batch dedup (the filter only learns keys after the
         # whole batch); cross-batch dedup is the Bloom's job
         fresh = fresh.dropDuplicates([key_col]).persist()
+        if fresh.isEmpty():  # every key already seen: nothing to emit/learn
+            fresh.unpersist()
+            return
         fresh.write.mode("append").parquet(out_path)
         partial, _ = merge_partial_rows(
             build_partials(fresh, key_col, factory).collect()
         )
-        _RUNNING[name] = partial if seen is None else seen.merge(partial)
+        sk = partial if seen is None else seen.merge(partial)
+        _RUNNING[name] = sk
+        persist_sketch(checkpoint_dir, batch_id, sk)
+        _PERSISTED_BATCH[name] = batch_id
         fresh.unpersist()
 
     return (
@@ -131,6 +214,16 @@ def dedup_stream_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_UNIT_MS = {"millisecond": 1, "second": 1_000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000}
+
+
+def _duration_ms(s: str) -> int:
+    """Parse Spark interval strings like '1 minute' / '30 seconds'."""
+    n, unit = s.strip().split()
+    return int(n) * _UNIT_MS[unit.rstrip("s")]
 
 
 _WINDOW_OUT = StructType(
@@ -155,18 +248,28 @@ def windowed_distinct_stream(
 ) -> DataFrame:
     """Per-event-time-window streaming distinct-count (HLL) via
     applyInPandasWithState. Late data beyond the watermark is dropped by
-    Spark; window state is evicted on event-time timeout."""
+    Spark; window state IS evicted via EventTimeTimeout once the watermark
+    passes window_end + watermark, so the state store stays bounded on a
+    long-running stream."""
     from ..sketches import HyperLogLog
+
+    window_ms = _duration_ms(window)
+    watermark_ms = _duration_ms(watermark)
 
     with_window = (
         stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
         .withColumn("_w", F.window(F.col(ts_col), window).getField("start"))
         .withColumn("_k", F.xxhash64(F.col(key_col).cast("string")))
-        .select("_w", "_k")
+        # the watermarked ts column must survive the projection or the
+        # analyzer rejects EventTimeTimeout ("no watermark")
+        .select("_w", "_k", ts_col)
     )
 
     def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # watermark passed window end: evict
+            state.remove()
+            return
         (wstart,) = key
         if state.exists:
             blob, n = state.get
@@ -178,6 +281,8 @@ def windowed_distinct_stream(
             hll.insert_bulk(vals)
             n += len(vals)
         state.update((hll.to_bytes(), n))
+        end_ms = int(pd.Timestamp(wstart).value // 1_000_000) + window_ms
+        state.setTimeoutTimestamp(end_ms + watermark_ms)
         yield pd.DataFrame(
             {
                 "window_start": [wstart],
@@ -191,5 +296,5 @@ def windowed_distinct_stream(
         outputStructType=_WINDOW_OUT,
         stateStructType=_WINDOW_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -55,10 +55,15 @@ def test_rolling_fingerprints_shared_windows(spark):
          (3, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")],
         "doc_id long, text string",
     )
-    fps = {r["doc_id"]: set(r["fingerprints"])
-           for r in text.rolling_fingerprints(df).collect()}
+    fps: dict[int, set] = {}
+    ranks: dict[int, list] = {}
+    for r in text.rolling_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        ranks.setdefault(r["doc_id"], []).append(r["fp_rank"])
     assert fps[1] & fps[2], "near-identical docs must share window hashes"
     assert not (fps[1] & fps[3])
+    assert sorted(ranks[1]) == list(range(1, len(fps[1]) + 1))
+    assert all(0 <= fp < (1 << 31) - 1 for fp in fps[1])
 
 
 # ------------------------------------------------------------------ dedup

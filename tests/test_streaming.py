@@ -35,6 +35,42 @@ def test_stream_fold_equals_batch(spark, tmp_path_factory):
     assert sk.payload() == expected.payload()
 
 
+def test_stream_resume_after_restart(spark, tmp_path_factory):
+    """Driver restart must not lose the running sketch: offsets are durably
+    committed by Structured Streaming, so the sketch is snapshotted per batch
+    and reloaded — the resumed stream's final sketch equals a batch build
+    over ALL the data, including batches processed before the 'crash'."""
+    from pimbloomfilters_spark.streaming import stream_build
+
+    data_dir = str(tmp_path_factory.mktemp("rs_in"))
+    ckpt = str(tmp_path_factory.mktemp("rs_ckpt"))
+    bloom = functools.partial(make_sketch, "bloom", size2=20, nb_hash=8)
+
+    first = generate_token_sequences(spark, 400, num_partitions=2)
+    first.write.mode("append").parquet(data_dir)
+    schema = spark.read.parquet(data_dir).schema
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(data_dir)
+        )
+        q = sketch_stream_query(stream, "tokens", bloom, "t_resume", ckpt)
+        q.awaitTermination(120)
+
+    _run()
+    # simulate a driver restart: in-memory state gone, checkpoint + snapshots remain
+    stream_build._RUNNING.pop("t_resume", None)
+    stream_build._PERSISTED_BATCH.pop("t_resume", None)
+    second = generate_token_sequences(spark, 400, num_partitions=2, start_id=400)
+    second.write.mode("append").parquet(data_dir)
+    _run()
+
+    expected, _ = build_sketch(spark.read.parquet(data_dir), "tokens", bloom)
+    got = get_stream_sketch("t_resume")
+    assert got is not None and got.payload() == expected.payload()
+
+
 def test_windowed_distinct_stream(spark, sf_dir, tmp_path_factory):
     from pimbloomfilters_spark.streaming import windowed_distinct_stream
 
