@@ -24,7 +24,53 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from ..hashing import xxh64_u64
+from ..hashing import splitmix64, xxh64_u64
+
+_GAMMA = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 stream increment
+
+
+def _batch_distinct_grams(texts: list, n: int):
+    """Distinct packed char n-grams for EVERY doc of a batch in one
+    vectorized pass (no per-doc Python):
+
+    - concatenate all texts into one flat byte array;
+    - take every length-n sliding window, mask out windows that cross a
+      document boundary;
+    - pack each window's bytes into a uint64 (Horner, base 131 — n <= 8);
+    - per-doc distinct via one lexsort over (doc, packed).
+
+    Returns (packed, starts, doc_idx): packed distinct grams grouped by doc,
+    ``starts`` the start offset of each present doc's gram run (for
+    ``np.ufunc.reduceat``), ``doc_idx`` the batch-local row index of each run.
+    Docs shorter than n bytes simply have no run.
+    """
+    enc = [(t or "").encode("utf-8", "ignore") for t in texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    total = int(lens.sum())
+    if total < n:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    w = np.lib.stride_tricks.sliding_window_view(flat, n)
+    with np.errstate(over="ignore"):
+        packed = np.zeros(w.shape[0], dtype=np.uint64)
+        for i in range(n):  # n is tiny (3): n vectorized column ops
+            packed = packed * np.uint64(131) + w[:, i].astype(np.uint64)
+    # doc of each window start; keep only windows fully inside one doc
+    pos = np.arange(w.shape[0], dtype=np.int64)
+    doc = np.repeat(np.arange(len(enc), dtype=np.int64), lens)[:w.shape[0]]
+    valid = pos + n <= ends[doc]
+    packed, doc = packed[valid], doc[valid]
+    if packed.size == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    order = np.lexsort((packed, doc))
+    doc, packed = doc[order], packed[order]
+    keep = np.r_[True, (doc[1:] != doc[:-1]) | (packed[1:] != packed[:-1])]
+    doc, packed = doc[keep], packed[keep]
+    starts = np.r_[0, np.flatnonzero(doc[1:] != doc[:-1]) + 1]
+    return packed, starts, doc[starts]
 
 
 # --------------------------------------------------------------- exact
@@ -81,37 +127,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 # ------------------------------------------------------------- MinHash
 def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
                        num_hashes: int = 64, seed: int = 7) -> DataFrame:
-    """(doc_id, sig array<long>): MinHash over char n-gram xxhashes, all
-    hashes derived by the splitmix/affine trick h_j = xxh64(g, s+j) computed
-    as one (grams x num_hashes) numpy broadcast per batch."""
+    """(doc_id, sig array<long>): MinHash over distinct char n-grams.
+
+    Fully batch-vectorized (no per-doc Python loop): distinct grams for the
+    whole batch come from one flat-array pass (``_batch_distinct_grams``);
+    the j-th hash of gram g is ``splitmix64(xxh64(g, seed) + j*gamma)`` —
+    the splitmix64 parallel-stream construction, one base xxh64 pass plus one
+    cheap mix per seed — and the per-doc minimum of each stream is a single
+    ``np.minimum.reduceat`` over the doc runs. Docs shorter than n get the
+    all-MAX signature (no grams -> empty set)."""
 
     def _sig(batches):
         for b in batches:
             ids = b.column(0)
             texts = b.column(1).to_pylist()
-            out = []
-            for t in texts:
-                t = t or ""
-                if len(t) < n:
-                    out.append([np.iinfo(np.int64).max] * num_hashes)
-                    continue
-                enc = t.encode("utf-8", "ignore")
-                raw = np.frombuffer(enc, dtype=np.uint8)
-                w = np.lib.stride_tricks.sliding_window_view(raw, min(n, raw.size))
-                # pack each n-byte gram into a uint64 (n<=8) then mix per seed
+            rows = len(texts)
+            sig = np.full((rows, num_hashes), np.iinfo(np.int64).max,
+                          dtype=np.int64)
+            packed, starts, doc_idx = _batch_distinct_grams(texts, n)
+            if packed.size:
+                h0 = xxh64_u64(packed, seed)
                 with np.errstate(over="ignore"):
-                    packed = np.zeros(w.shape[0], dtype=np.uint64)
-                    for i in range(w.shape[1]):
-                        packed = packed * np.uint64(131) + w[:, i].astype(np.uint64)
-                packed = np.unique(packed)
-                sig = np.empty(num_hashes, dtype=np.uint64)
-                for j in range(num_hashes):
-                    sig[j] = xxh64_u64(packed, seed + j).min()
-                out.append(sig.astype(np.int64).tolist())
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(out, type=pa.list_(pa.int64()))],
-                names=["doc_id", "sig"],
-            )
+                    for j in range(num_hashes):
+                        hj = splitmix64(h0 + _GAMMA * np.uint64(j))
+                        sig[doc_idx, j] = np.minimum.reduceat(
+                            hj, starts).view(np.int64)
+            offsets = np.arange(0, (rows + 1) * num_hashes, num_hashes,
+                                dtype=np.int32)
+            sig_col = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(sig.ravel()))
+            yield pa.RecordBatch.from_arrays([ids, sig_col],
+                                             names=["doc_id", "sig"])
 
     id_type = dict(df.dtypes)["doc_id"]
     return df.select("doc_id", text_col).mapInArrow(
@@ -154,24 +200,35 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     Banding r = num_hashes/bands = 2 rows/band: P[candidate | j >= 0.7]
     = 1-(1-0.49)^32 ~ 1-2e-10, so the output equals the exact pair set at
     this threshold (gated against the exact oracle at sf0.01). The verify
-    join touches only candidate pairs — at corpus scale that is the whole
-    point: O(corpus) signatures + O(bucket^2) candidates, never all pairs."""
+    touches only candidate pairs — at corpus scale that is the whole point:
+    O(corpus) signatures + O(bucket^2) candidates, never all pairs.
+
+    Verify = join each candidate pair to the two docs' distinct-gram ARRAYS
+    and intersect JVM-side (``F.array_intersect``, hash-set O(|a|+|b|) inside
+    codegen): one row per candidate instead of exploding |candidates| x
+    |grams| rows through a shuffle — on a degenerate high-similarity corpus
+    (many candidates) that exploded join was the dominant cost. Grams are
+    xxhash64-hashed to int64 BEFORE set-building: |gram set| and
+    |intersection| are unchanged (64-bit collisions across a doc pair's few
+    hundred grams: ~1e-13), and long-array intersection is several times
+    faster than 3-char-string intersection."""
     sigs = minhash_signatures(df, text_col, n, num_hashes)
     cands = minhash_lsh_candidates(sigs, bands)
-    grams = char_ngrams(df, text_col, n).cache()
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
-    inter = (
-        cands.join(ga, "doc_a").join(gb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    gram_sets = (
+        char_ngrams(df, text_col, n)
+        .select("doc_id", F.xxhash64("gram").alias("g"))
+        .groupBy("doc_id").agg(F.collect_set("g").alias("grams"))
     )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    ga = gram_sets.select(F.col("doc_id").alias("doc_a"),
+                          F.col("grams").alias("grams_a"))
+    gb = gram_sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
-        inter.join(F.broadcast(sz_a), "doc_a").join(F.broadcast(sz_b), "doc_b")
+        cands.join(ga, "doc_a").join(gb, "doc_b")
+        .withColumn("inter", inter)
         .withColumn("jaccard", F.col("inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                    / (F.size("grams_a") + F.size("grams_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -180,30 +237,29 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 # ------------------------------------------------------------- SimHash
 def simhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
                        seed: int = 11) -> DataFrame:
-    """(doc_id, simhash long): 64-bit sign-sum of gram hash bits."""
+    """(doc_id, simhash long): 64-bit sign-sum of gram hash bits.
+
+    Batch-vectorized like ``minhash_signatures``: one distinct-gram pass for
+    the whole batch, one xxh64 pass, then per-bit votes for every doc at once
+    via ``np.add.reduceat`` over the (grams x 64) bit matrix. Docs shorter
+    than n get simhash 0 (empty gram set)."""
 
     def _sim(batches):
         bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         for b in batches:
             ids = b.column(0)
             texts = b.column(1).to_pylist()
-            out = np.empty(len(texts), dtype=np.int64)
-            for r, t in enumerate(texts):
-                t = t or ""
-                raw = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
-                if raw.size < n:
-                    out[r] = 0
-                    continue
-                w = np.lib.stride_tricks.sliding_window_view(raw, n)
-                with np.errstate(over="ignore"):
-                    packed = np.zeros(w.shape[0], dtype=np.uint64)
-                    for i in range(n):
-                        packed = packed * np.uint64(131) + w[:, i].astype(np.uint64)
-                h = xxh64_u64(np.unique(packed), seed)
-                # vote per bit: +1 if set else -1; sign of sum -> bit
-                bits = (h[:, None] & bitcols[None, :]) != 0
-                votes = bits.sum(axis=0) * 2 - bits.shape[0]
-                out[r] = int(((votes > 0) * bitcols).sum(dtype=np.uint64).astype(np.int64))
+            out = np.zeros(len(texts), dtype=np.int64)
+            packed, starts, doc_idx = _batch_distinct_grams(texts, n)
+            if packed.size:
+                h = xxh64_u64(packed, seed)
+                # int16 is enough: grams-per-doc < 2^15 by construction of
+                # the corpus; bit j of a doc is set iff > half its grams set it
+                bits = ((h[:, None] & bitcols[None, :]) != 0).astype(np.int16)
+                counts = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+                sizes = np.diff(np.r_[starts, packed.size])[:, None]
+                out[doc_idx] = ((counts * 2 > sizes)
+                                * bitcols[None, :]).sum(axis=1).view(np.int64)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(out)], names=["doc_id", "simhash"]
             )
