@@ -301,11 +301,55 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------- embedding near-dup
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
-                             id_col: str = "vec_id",
-                             threshold: float = 0.95) -> DataFrame:
-    """(id_a, id_b, cos) pairs with cosine >= threshold. Brute force via the
-    vectorized numpy path (see similarity.cosine_matrix_pairs); exact and
-    oracle-checkable at small scale."""
-    from .similarity import cosine_pairs_bruteforce
+                             id_col: str = "vec_id", threshold: float = 0.95,
+                             n_blocks: int = 8) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine >= threshold — EXACT via the
+    distributed block-pair GEMM (no driver materialization; see
+    similarity.cosine_pairs_blocked). Use this when the threshold is low or
+    recall must be exactly 1; use ``embedding_near_dup_lsh`` for the
+    high-threshold near-dup regime where bucketing skips most of the O(n^2)
+    work."""
+    from .similarity import cosine_pairs_blocked
 
-    return cosine_pairs_bruteforce(df, vec_col, id_col, threshold)
+    return cosine_pairs_blocked(df, vec_col, id_col, threshold, n_blocks)
+
+
+def embedding_near_dup_lsh(df: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id", threshold: float = 0.9,
+                           bits: int = 10, seed: int = 5,
+                           tables: int = 6) -> DataFrame:
+    """(id_a, id_b, cos): high-threshold embedding near-dups via hyperplane
+    LSH — the 100 TB path for "find my near-duplicate embeddings".
+
+    ``tables`` independent hyperplane codes (OR-amplification): a pair is a
+    candidate if it shares the FULL code in any table; candidates are then
+    exact-verified with a JVM-side dot product. Per-bit agreement is
+    1 - acos(cos)/pi: at cos 0.9 that is ~0.856, so one 10-bit table catches
+    a true pair w.p. ~0.21 and 6 tables ~0.76; at cos 0.98 (true near-dups)
+    6 tables reach ~0.97. Raise ``tables``/lower ``bits`` for recall, the
+    reverse for cost (candidates/table ~ n^2/2^bits on random data).
+    Exactness is NOT guaranteed (that is ``embedding_near_dup_pairs``);
+    recall on planted duplicates is pinned by tests/test_functions.py."""
+    from .similarity import lsh_bucket_ids
+
+    cands = None
+    for t in range(tables):
+        b = lsh_bucket_ids(df, vec_col, id_col, bits, seed + 7919 * t)
+        l = b.select(F.col(id_col).alias("doc_a"), "bucket")
+        r = b.select(F.col(id_col).alias("doc_b"), "bucket")
+        c = (l.join(r, "bucket").filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b"))
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.distinct()
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    va = vecs.select(F.col("_id").alias("doc_a"), F.col("_v").alias("_va"))
+    vb = vecs.select(F.col("_id").alias("doc_b"), F.col("_v").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        cands.join(va, "doc_a").join(vb, "doc_b")
+        .withColumn("cos", F.try_divide(dot, nrm(F.col("_va")) * nrm(F.col("_vb"))))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "cos")
+    )

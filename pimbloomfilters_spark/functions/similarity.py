@@ -80,12 +80,78 @@ def cosine_topk_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def cosine_pairs_blocked(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", threshold: float = 0.95,
+                         n_blocks: int = 8) -> DataFrame:
+    """(id_a, id_b, cos): EXACT all pairs with cosine >= threshold, id_a <
+    id_b — fully distributed, nothing ever touches the driver.
+
+    Block-pair decomposition: rows are hashed into ``n_blocks`` blocks; each
+    unordered block pair (i <= j) becomes one cogroup task that GEMMs its two
+    slices. Shuffle volume is ~n_blocks replicas of each row (left side fans
+    out to pairs (b, j>=b), right side to (i<=b, b)); the O(n^2) similarity
+    compute is spread over n_blocks*(n_blocks+1)/2 tasks, so n_blocks is the
+    memory/parallelism knob (each task holds 2 slices of n/n_blocks vectors).
+
+    This is the exact-threshold scale path. At LOW thresholds (like the 0.4
+    gate on near-orthogonal vectors) no sublinear method can guarantee
+    recall 1 — hyperplane-LSH band recall at cos 0.4 is ~0.63/bit, so any
+    bucketing that skips most pairs provably misses some — hence exact
+    blocking here and LSH (``embedding_near_dup_lsh`` in dedup.py) only for
+    the high-threshold near-dup regime where it is sound."""
+
+    blocks = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_b"),
+    )
+    # DISTINCT column names per side: a self-cogroup whose two children share
+    # attribute lineage gets its right-side data columns over-pruned by the
+    # optimizer when the result is projected (observed on Spark 4.1); fresh
+    # aliases give the right side its own attributes.
+    left = blocks.withColumn(
+        "_bj", F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1)))
+    ).select(F.col("_id").alias("_lid"), F.col("_v").alias("_lv"),
+             F.col("_b").alias("_bi"), "_bj")
+    right = blocks.withColumn(
+        "_bi", F.explode(F.sequence(F.lit(0), F.col("_b")))
+    ).select(F.col("_id").alias("_rid"), F.col("_v").alias("_rv"),
+             "_bi", F.col("_b").alias("_bj"))
+
+    def _gemm(lpdf, rpdf):
+        import pandas as pd
+
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        lids = lpdf["_lid"].to_numpy(dtype=np.int64)
+        rids = rpdf["_rid"].to_numpy(dtype=np.int64)
+        lm = _normalize(np.stack(lpdf["_lv"].to_numpy()).astype(np.float64))
+        rm = _normalize(np.stack(rpdf["_rv"].to_numpy()).astype(np.float64))
+        sims = lm @ rm.T
+        same_block = int(lpdf["_bi"].iloc[0]) == int(lpdf["_bj"].iloc[0])
+        # same-block tasks see each unordered pair twice -> keep l<r only;
+        # cross-block tasks see it once with arbitrary id order -> canonicalize
+        mask = sims >= threshold
+        mask &= (lids[:, None] < rids[None, :]) if same_block \
+            else (lids[:, None] != rids[None, :])
+        ii, jj = np.nonzero(mask)
+        a, b = lids[ii], rids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[ii, jj]})
+
+    return (
+        left.groupBy("_bi", "_bj")
+        .cogroup(right.groupBy("_bi", "_bj"))
+        .applyInPandas(_gemm, "id_a long, id_b long, cos double")
+    )
+
+
 def cosine_pairs_bruteforce(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id",
                             threshold: float = 0.95) -> DataFrame:
     """(id_a, id_b, cos): all pairs with cosine >= threshold, id_a < id_b.
-    One side is collected & normalized (small scale / the verified candidate
-    set at large scale); tasks GEMM their batch against it."""
+    One side is collected & normalized — SMALL-SCALE ORACLE ONLY (tests);
+    production paths use ``cosine_pairs_blocked`` (exact, distributed) or
+    the LSH-bucketed near-dup for high thresholds."""
     rows = df.select(id_col, vec_col).collect()
     all_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     am = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))

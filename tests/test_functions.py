@@ -173,6 +173,42 @@ def test_embedding_near_dup_pairs(spark, emb):
         assert r["cos"] >= 0.95
 
 
+def test_cosine_pairs_blocked_equals_bruteforce(spark, emb):
+    """The distributed block-pair GEMM (no driver collect) must produce
+    exactly the brute-force pair set — the property the oracle gate relies
+    on. Threshold low enough that real pairs exist on this corpus."""
+    got = {(r["id_a"], r["id_b"])
+           for r in similarity.cosine_pairs_blocked(
+               emb, threshold=0.4, n_blocks=5).collect()}
+    exact = {(r["id_a"], r["id_b"])
+             for r in similarity.cosine_pairs_bruteforce(
+                 emb, threshold=0.4).collect()}
+    assert got == exact and exact, (len(got), len(exact))
+
+
+def test_embedding_near_dup_lsh_recall(spark, emb):
+    """High-threshold LSH near-dup: plant 20 near-duplicates (cos ~0.99) and
+    require the bucketed path to recover most planted pairs, with every
+    emitted pair exact-verified above threshold."""
+    rows = emb.select("vec_id", "embedding").limit(20).collect()
+    rng = np.random.default_rng(11)
+    planted = [
+        (int(r["vec_id"]) + 100_000,
+         (np.array(r["embedding"], dtype=np.float64)
+          + rng.normal(0, 0.03, 64) * np.abs(
+              np.array(r["embedding"])).mean()).astype(float).tolist(),
+         "planted")
+        for r in rows
+    ]
+    extra = spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>, label string")
+    union = emb.select("vec_id", "embedding", "label").unionAll(extra)
+    pairs = dedup.embedding_near_dup_lsh(union, threshold=0.9).collect()
+    assert all(r["cos"] >= 0.9 for r in pairs)
+    found = {r["id_a"] for r in pairs if r["id_b"] == r["id_a"] + 100_000}
+    assert len(found) >= 15, f"planted near-dup recall {len(found)}/20"
+
+
 # ------------------------------------------------------------------ multimodal
 def test_multimodal_pipeline(spark):
     mm = multimodal.synth_multimodal(spark, 60, num_partitions=4).cache()
