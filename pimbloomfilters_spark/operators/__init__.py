@@ -1,10 +1,11 @@
-from .build import build_partials, build_sketch, merge_partial_rows
+from .build import build_partials, build_sketch, build_sketch_grouped, merge_partial_rows
 from .probe import probe_array_column, probe_key_column
 from .partitioning import salted_repartition
 
 __all__ = [
     "build_partials",
     "build_sketch",
+    "build_sketch_grouped",
     "merge_partial_rows",
     "probe_array_column",
     "probe_key_column",

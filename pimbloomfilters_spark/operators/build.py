@@ -131,6 +131,65 @@ def merge_partial_rows(rows) -> tuple[Sketch, dict]:
     return sk, metrics
 
 
+def build_sketch_grouped(df: DataFrame, group_cols, col: str,
+                         make: Callable[[], Sketch]) -> DataFrame:
+    """One sketch PER GROUP in one pass: DataFrame[*group_cols, sketch
+    binary, n_rows long, n_values long].
+
+    The reference is strictly one-filter-per-call; every real use ("distinct
+    users per event_type", "a filter per source") needs N sketches from ONE
+    job, not a driver loop launching jobs per group. Shape = map-side
+    combine: each task builds a partial per (partition, group) — so the
+    shuffle moves only small sketch blobs, never raw rows — and a relational
+    groupBy merges the partials per group. Works for any registered sketch
+    kind (merge is associative+commutative); group count is unbounded
+    (output is a DataFrame, nothing driver-side)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    dtypes = dict(df.dtypes)
+    gschema = ", ".join(f"{c} {dtypes[c]}" for c in group_cols)
+    out_schema = f"{gschema}, sketch binary, n_rows long, n_values long"
+    partial_schema = out_schema + ", _pid int"
+
+    def _partials(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        sketches: dict = {}
+        stats: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                vals = flatten_numeric(sub[col])
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = make()
+                    stats[key] = [0, 0]
+                sk.insert_bulk(vals)
+                stats[key][0] += len(sub)
+                stats[key][1] += int(vals.size)
+        if sketches:
+            yield pd.DataFrame(
+                [(*k, sk.to_bytes(), *stats[k], pid)
+                 for k, sk in sketches.items()],
+                columns=[*group_cols, "sketch", "n_rows", "n_values", "_pid"],
+            )
+
+    partials = df.select(*group_cols, col).mapInPandas(_partials, partial_schema)
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_pid")  # deterministic merge order
+        sk = sketch_from_bytes(bytes(pdf["sketch"].iloc[0]))
+        for blob in pdf["sketch"].iloc[1:]:
+            sk.merge(sketch_from_bytes(bytes(blob)))
+        res = pdf.iloc[[0]][list(group_cols)].copy()
+        res["sketch"] = [sk.to_bytes()]
+        res["n_rows"] = pdf["n_rows"].sum()
+        res["n_values"] = pdf["n_values"].sum()
+        return res
+
+    return partials.groupBy(*group_cols).applyInPandas(_merge, out_schema)
+
+
 def weight_distributed(partials_or_shards: DataFrame,
                        sketch_col: str = "sketch") -> int:
     """Popcount as a distributed partial+final SUM — the exact shape of the

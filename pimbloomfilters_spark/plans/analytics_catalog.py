@@ -53,10 +53,13 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
              .alias("total_cents"))
     )
+    # fixed k: orderBy().limit(k) compiles to TakeOrderedAndProject (per-
+    # partition top-k + tiny merge), never a single-task global sort; the
+    # rank window then runs over exactly k rows.
+    top = totals.orderBy(F.desc("total_cents"), F.asc("o_custkey")).limit(10)
     w = Window.orderBy(F.desc("total_cents"), F.asc("o_custkey"))
     return (
-        totals.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("o_custkey", "total_cents", "rank")
     )
 

@@ -24,7 +24,6 @@ from typing import Callable, Optional
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from ..operators import build_sketch, probe_key_column
 from ..sketches import make_sketch
@@ -245,29 +244,34 @@ _QS = (0.25, 0.5, 0.75)
 
 def _quantile_sketch_query(spark: SparkSession, sf_dir: str, factory,
                            err_of) -> DataFrame:
+    """Exact ranks WITHOUT a global sort or a full collect: n_tok has few
+    distinct values (document lengths), so one distributed groupBy produces a
+    tiny (value, count) histogram; exact quantile values and the estimate's
+    rank band both fall out of its cumulative sum. The old plan (un-
+    partitioned row_number window + collecting every n_tok) single-tasked the
+    sort and materialized the column on the driver — dead at scale."""
     tt = token_table(spark, sf_dir)
     sk, _ = build_sketch(tt, "n_tok", factory)
-    n = sk.n
-    # exact discrete quantile: value at 1-based rank ceil(q*n), plus exact
-    # ranks of the KLL estimate for the bound check
-    ranked = (
-        tt.select("n_tok")
-        .withColumn("rn", F.row_number().over(Window.orderBy("n_tok")))
+    hist = (
+        tt.groupBy("n_tok").agg(F.count("*").alias("cnt"))
+        .orderBy("n_tok").collect()
     )
-    targets = {q: int(math.ceil(q * n)) for q in _QS}
-    exact_rows = ranked.filter(F.col("rn").isin(list(targets.values()))).collect()
-    by_rank: dict[int, int] = {}
-    for r in exact_rows:
-        by_rank.setdefault(r["rn"], r["n_tok"])
-    ntoks = np.sort(np.array([r["n_tok"] for r in tt.select("n_tok").collect()]))
+    vals = np.array([r["n_tok"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(np.array([r["cnt"] for r in hist], dtype=np.int64))
+    n = int(cum[-1])
+    assert n == sk.n
     out = []
     for q in _QS:
+        rank = int(math.ceil(q * n))  # 1-based
+        exact = int(vals[np.searchsorted(cum, rank, side="left")])
         est = sk.quantile(q)
-        lo = int(np.searchsorted(ntoks, est, side="left"))
-        hi = int(np.searchsorted(ntoks, est, side="right"))
+        i_lo = np.searchsorted(vals, est, side="left")
+        i_hi = np.searchsorted(vals, est, side="right")
+        lo = int(cum[i_lo - 1]) if i_lo > 0 else 0  # items strictly < est
+        hi = int(cum[i_hi - 1]) if i_hi > 0 else 0  # items <= est
         band = err_of(sk, q) * n + 1
         ok = (lo - band) <= q * n <= (hi + band)
-        out.append((float(q), int(by_rank[targets[q]]), bool(ok)))
+        out.append((float(q), exact, bool(ok)))
     return spark.createDataFrame(
         out, "q double, exact_ntok int, within_bound boolean"
     )

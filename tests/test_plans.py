@@ -84,3 +84,30 @@ def test_scan_prunes_to_build_column(spark, sf_dir):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_grouped_build_matches_per_group(spark, sf_dir):
+    """build_sketch_grouped == one independent build per group, byte-for-byte
+    (bloom merge is order-free), with only sketch blobs shuffled."""
+    from pimbloomfilters_spark.operators import build_sketch, build_sketch_grouped
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.xxhash64("text").alias("h")
+    )
+    bloom = functools.partial(make_sketch, "bloom", size2=20, nb_hash=8)
+    grouped = build_sketch_grouped(docs, ["source"], "h", bloom)
+    rows = {r["source"]: r for r in grouped.collect()}
+    assert len(rows) == docs.select("source").distinct().count()
+    from pimbloomfilters_spark.sketches import sketch_from_bytes
+
+    for src in list(rows)[:3]:
+        solo, m = build_sketch(docs.filter(F.col("source") == src), "h", bloom)
+        got = sketch_from_bytes(bytes(rows[src]["sketch"]))
+        assert got.payload() == solo.payload()
+        assert rows[src]["n_values"] == m["n_values"]
+    # map-side combine: the only exchange sits ABOVE the partial builder
+    # (it carries per-(partition, group) sketch blobs, never raw rows) — no
+    # shuffle below the last MapInPandas. AQE may print the plan twice.
+    plan = _plan(grouped)
+    assert "Exchange hashpartitioning(source" in plan
+    assert "Exchange" not in plan[plan.rindex("MapInPandas"):]
