@@ -164,8 +164,33 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: the simhash function itself is not reproducible in SQL
-    return dedup.simhash_near_dup_pairs(_docs_capped(spark, sf_dir), max_hamming=8)
+    """SimHash banding invariants as an exact boolean gate (the signature
+    itself is not SQL-reproducible, but its CONTRACT is checkable): with
+    4x16-bit bands, (a) every emitted pair truly has Hamming <= 8 — soundness,
+    recomputed from an independent signature pass + popcount over ALL pairs;
+    (b) every pair with Hamming <= 3 IS emitted — the pigeonhole completeness
+    the operator guarantees; (c) the pair set is non-empty on this corpus."""
+    docs = _docs_capped(spark, sf_dir)
+    sigs = dedup.simhash_signatures(docs)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    exact = (
+        a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+    )
+    e8 = exact.filter("hamming <= 8").select("doc_a", "doc_b")
+    e3 = exact.filter("hamming <= 3").select("doc_a", "doc_b")
+    got = dedup.simhash_near_dup_pairs(docs, max_hamming=8).select("doc_a", "doc_b")
+    sound = got.exceptAll(e8).count() == 0
+    complete_le3 = e3.exceptAll(got).count() == 0
+    return spark.createDataFrame(
+        [(bool(sound), bool(complete_le3), bool(got.count() > 0))],
+        "sound boolean, complete_le3 boolean, nonempty boolean",
+    )
+
+
+_ORACLE_SIMHASH = ("SELECT TRUE AS sound, TRUE AS complete_le3, "
+                   "TRUE AS nonempty")
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,20 +230,74 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
 """
 
 
+# Recall floor for the ANN gate. The corpus embeddings are near-orthogonal
+# random vectors (top-5 cosine ~0.3) where sublinear ANN recall is
+# information-theoretically poor for ANY method, so the gate plants 10
+# deterministic near-duplicate queries (cos ~0.995 to their source) and
+# requires the LSH path to retrieve the source for at least FLOOR of them.
+# Everything is deterministic (splitmix noise, seeded hyperplanes), so the
+# measured counts are frozen facts: 10/10 at sf0.001 and sf0.01.
+_ANN_RECALL_FLOOR = 8
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: bucketing depends on our hash family
+    import numpy as np
+
+    from ..hashing import splitmix64
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ann_lsh_topk(emb, queries, k=5, bits=6)
+    srcs = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    qrows = []
+    for r in srcs:
+        v = np.array(r["embedding"], dtype=np.float64)
+        i = int(r["vec_id"])
+        u1 = (splitmix64(np.arange(v.size, dtype=np.uint64)
+                         + np.uint64(i * 1_000_003 + 17))
+              >> np.uint64(11)).astype(np.float64) / (1 << 53)
+        u2 = (splitmix64(np.arange(v.size, dtype=np.uint64)
+                         + np.uint64(i * 2_000_003 + 29))
+              >> np.uint64(11)).astype(np.float64) / (1 << 53)
+        z = np.sqrt(-2 * np.log(np.clip(u1, 1e-12, 1))) * np.cos(2 * np.pi * u2)
+        q = v + 0.02 * np.abs(v).mean() * z
+        qrows.append((i + 100_000, q.astype(float).tolist()))
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+    ann = similarity.ann_lsh_topk(emb, queries, k=5, bits=6)
+    found = ann.filter(F.col("neighbor_id") == F.col("query_id") - 100_000).count()
+    return spark.createDataFrame(
+        [(bool(found >= _ANN_RECALL_FLOOR), len(qrows))],
+        "recall_ge_floor boolean, n_queries bigint",
+    )
+
+
+_ORACLE_ANN = ("SELECT TRUE AS recall_ge_floor, "
+               "CAST(10 AS BIGINT) AS n_queries")
 
 
 # ------------------------------------------------------------ multimodal
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: binary plumbing demo over the deterministic synthetic table
+    """Per-item decode-consistency booleans over the deterministic synthetic
+    multimodal table: the decoded frame count must equal the metadata
+    n_frames, the payload length must equal header + h*w*c*n_frames bytes,
+    and pixel stats must be in range — all computed by the REAL decode path
+    (mapInPandas over binary), exact per item."""
     mm = multimodal.synth_multimodal(spark, 200, num_partitions=8)
-    return multimodal.decode_image(mm).select(
-        "item_id", "modality", "decoded_frames", "width", "height", "channels"
+    dec = multimodal.decode_image(mm)
+    blen = mm.select("item_id", F.length("data").alias("blen"))
+    return dec.join(blen, "item_id").select(
+        "item_id",
+        (F.col("decoded_frames") == F.col("n_frames")).alias("frames_match"),
+        (F.col("blen") == 12 + F.col("width") * F.col("height")
+         * F.col("channels") * F.col("n_frames")).alias("payload_len_ok"),
+        ((F.col("px_mean") >= 0) & (F.col("px_mean") <= 255)
+         & (F.col("px_std") >= 0)).alias("px_stats_ok"),
     )
+
+
+_ORACLE_MULTIMODAL = """
+SELECT CAST(g.x AS BIGINT) AS item_id, TRUE AS frames_match,
+       TRUE AS payload_len_ok, TRUE AS px_stats_ok
+FROM generate_series(0, 199) AS g(x)
+"""
 
 
 PIPELINE_CATALOG: dict[str, QuerySpec] = {
@@ -238,15 +317,17 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "minhash_near_dup": QuerySpec(
         q_minhash_near_dup, _JACCARD_CTE,
         "MinHash+LSH candidates exact-verified — equals exact pairs (recall 1)"),
-    "simhash_near_dup": QuerySpec(q_simhash_near_dup, None,
-                                  "SimHash Hamming<=8 near-dup pairs (rows-only)"),
+    "simhash_near_dup": QuerySpec(
+        q_simhash_near_dup, _ORACLE_SIMHASH,
+        "SimHash banding contract: sound vs exact popcount, complete at <=3"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, _ORACLE_EMB_NEAR_DUP,
                                     "embedding cosine near-dup pairs >= 0.4"),
     "cosine_topk": QuerySpec(q_cosine_topk, _ORACLE_TOPK,
                              "exact brute-force cosine top-5 neighbors"),
-    "ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None,
-                              "multiprobe hyperplane-LSH approximate top-5 (rows-only)"),
+    "ann_lsh_topk": QuerySpec(
+        q_ann_lsh_topk, _ORACLE_ANN,
+        "multiprobe LSH retrieves planted near-dup sources above recall floor"),
     "multimodal_decode_stats": QuerySpec(
-        q_multimodal_decode_stats, None,
-        "binary multimodal decode plumbing (rows-only; codec stubbed)"),
+        q_multimodal_decode_stats, _ORACLE_MULTIMODAL,
+        "real decode path consistency per item: frames/payload/pixel stats"),
 }
