@@ -143,12 +143,16 @@ def run_bench() -> dict:
 
     neg = np.arange(2_000_000_000, 2_000_500_000, dtype=np.int64)
     fpr_sweep = []
-    for size2, n, k in [(22, 100_000, 8), (22, 400_000, 8), (24, 400_000, 8),
-                        (24, 1_600_000, 8), (22, 400_000, 4), (22, 400_000, 1)]:
-        bf = BlockedBloomFilter(size2=size2, nb_hash=k)
+    for size2, n, k, blocked in [
+        (22, 100_000, 8, True), (22, 400_000, 8, True), (24, 400_000, 8, True),
+        (24, 1_600_000, 8, True), (22, 400_000, 4, True), (22, 400_000, 1, True),
+        # the BASIC (non-blocked) variant: ideal-Bloom FPR at the same geometry
+        (22, 400_000, 8, False), (24, 1_600_000, 8, False),
+    ]:
+        bf = BlockedBloomFilter(size2=size2, nb_hash=k, blocked=blocked)
         bf.insert_bulk(np.arange(n, dtype=np.int64))
         fpr_sweep.append({
-            "size2": size2, "k": k, "n": n,
+            "size2": size2, "k": k, "n": n, "blocked": blocked,
             "measured": round(float(bf.contains_bulk(neg).mean()), 7),
             "bound": round(bf.theoretical_fpr_bound(n), 7),
         })

@@ -83,7 +83,7 @@ class BlockedBloomFilter(Sketch):
     kind = "bloom"
 
     def __init__(self, size2: int, nb_hash: int, seed: int = DEFAULT_SEED,
-                 block_bits: int = BLOCK_BITS):
+                 block_bits: int = BLOCK_BITS, blocked: bool = True):
         # reference validation: src/bloom_filter.hpp:31-36 and :272-274
         if size2 < 3:
             raise ValueError("size2 must be >= 3")
@@ -95,7 +95,15 @@ class BlockedBloomFilter(Sketch):
         self.nb_hash = int(nb_hash)
         self.seed = int(seed)
         self.m_bits = 1 << size2
-        self.block_bits = min(int(block_bits), self.m_bits)
+        # blocked=False: the reference's BASIC/BASIC2 variants
+        # (src/bloom_filter_factory.cpp:19-47, standard_bloom_filter.cpp:14-29)
+        # place the k bits independently across the WHOLE filter — one block
+        # spanning m. Minimum FPR at fixed m (the ideal-Bloom bound, no
+        # blocked penalty and a vanishing double-hash floor), at the price of
+        # k memory fetches per probe instead of 1.
+        self.blocked = bool(blocked)
+        self.block_bits = min(int(block_bits), self.m_bits) if blocked \
+            else self.m_bits
         self.n_blocks = self.m_bits // self.block_bits
         n_words = max(1, self.m_bits // 64)
         self._words = np.zeros(n_words, dtype=np.uint64)
@@ -194,6 +202,7 @@ class BlockedBloomFilter(Sketch):
             "nb_hash": self.nb_hash,
             "seed": self.seed,
             "block_bits": self.block_bits,
+            "blocked": self.blocked,
         }
 
     def payload(self) -> bytes:
@@ -233,6 +242,16 @@ class BlockedBloomFilter(Sketch):
             return 0.0
         lam = n_items / self.n_blocks
         bb = self.block_bits
+        if self.n_blocks == 1:
+            # unblocked (BASIC) variant: the one "block" holds exactly n items
+            # (no Poisson load variance), so the bound is the classic ideal
+            # formula; the double-hash (a, +/-d) floor scales 1/m^2 and is
+            # negligible at any practical m but kept for honesty.
+            ideal = (1.0 - math.exp(-self.nb_hash * lam / bb)) ** self.nb_hash
+            q = 1.0 - math.exp(-self.nb_hash * lam / bb)
+            floor = 6.0 * lam / (bb * bb) * (1.0 + 2.0 * q) \
+                if self.nb_hash > 1 else 0.0
+            return ideal + floor
         sd = math.sqrt(max(lam, 1.0))
         lo = max(0, int(lam - 12 * sd))
         hi = int(lam + 12 * sd) + 8

@@ -1,6 +1,7 @@
 from .stream_build import (
     dedup_stream_query,
     get_stream_sketch,
+    sharded_dedup_stream,
     sketch_stream_query,
     windowed_distinct_stream,
 )
@@ -8,6 +9,7 @@ from .stream_build import (
 __all__ = [
     "sketch_stream_query",
     "get_stream_sketch",
+    "sharded_dedup_stream",
     "windowed_distinct_stream",
     "dedup_stream_query",
 ]

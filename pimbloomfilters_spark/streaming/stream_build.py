@@ -216,6 +216,87 @@ def dedup_stream_query(
     )
 
 
+def sharded_dedup_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    size2: int = 26,
+    nb_hash: int = 8,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Streaming drop-already-seen filter with the Bloom state held
+    EXECUTOR-SIDE: the logical filter is split into ``n_shards`` disjoint
+    bit-ranges (the sharded-build layout — a key's block, hence all its k
+    bits, lives in exactly one shard), each shard's bitmap is GroupState in
+    the Structured Streaming state store, and every micro-batch routes keys
+    to their shard with the same JVM-side hash used by the batch operators.
+
+    vs ``dedup_stream_query`` (foreachBatch + driver-held filter): nothing is
+    re-shipped per batch (the foreachBatch path addFile's a fresh filter
+    snapshot every micro-batch — O(batches x m/8) transfers), state survives
+    driver restarts transactionally with the offsets (no side snapshots), and
+    memory scales out: each executor holds only its shards' m/n_shards bits.
+    Emits first occurrences (append mode); false positives drop a first
+    occurrence with p = FPR, the standard approximate-dedup trade. Dedup
+    state intentionally never expires (NoTimeout) — a TTL'd variant would
+    evict via ProcessingTimeTimeout.
+    """
+    import math as _math
+
+    from pyspark.sql.types import IntegerType, StructField as _SF, StructType as _ST
+
+    from ..operators.sharded import _shard_expr
+    from ..sketches.bloom import BLOCK_BITS, bloom_positions, scatter_or_bits
+
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    shard_bits = int(_math.log2(n_shards))
+    shard_size_bits = (1 << size2) // n_shards
+    out_schema = StructType([stream_df.schema[key_col]])
+    state_schema = _ST([_SF("bitmap", BinaryType()), _SF("n_seen", LongType())])
+
+    def _update(key, pdfs, state: GroupState):
+        (shard,) = key
+        if state.exists:
+            blob, n_seen = state.get
+            words = np.frombuffer(bytes(blob), dtype=np.uint64).copy()
+        else:
+            words = np.zeros(shard_size_bits // 64, dtype=np.uint64)
+            n_seen = 0
+        base = shard * shard_size_bits
+        out = []
+        for pdf in pdfs:
+            vals = pd.unique(pdf[key_col].to_numpy())  # in-batch exact dedup
+            pos = bloom_positions(
+                np.asarray(vals, dtype=np.int64), size2, nb_hash,
+                42, BLOCK_BITS) - np.uint64(base)
+            w = (pos >> np.uint64(6)).astype(np.int64)
+            bits = np.uint64(1) << (pos & np.uint64(63))
+            hit = (words[w] & bits) != 0
+            seen = hit.reshape(-1, nb_hash).all(axis=1)
+            fresh = vals[~seen]
+            if fresh.size:
+                scatter_or_bits(
+                    words, bloom_positions(
+                        np.asarray(fresh, dtype=np.int64), size2, nb_hash,
+                        42, BLOCK_BITS), pos_offset=base)
+                n_seen += int(fresh.size)
+                out.append(fresh)
+        state.update((words.tobytes(), n_seen))
+        if out:
+            yield pd.DataFrame({key_col: np.concatenate(out)})
+
+    keyed = stream_df.select(key_col).withColumn(
+        "_shard", _shard_expr(key_col, shard_bits).cast("int")
+    )
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _UNIT_MS = {"millisecond": 1, "second": 1_000, "minute": 60_000,
             "hour": 3_600_000, "day": 86_400_000}
 

@@ -131,3 +131,59 @@ def test_fpr_grid_vs_bound(k):
         # allow binomial noise: 3 sigma on 200k probes plus 50% model slack
         sigma = (bound / len(rng_negatives)) ** 0.5
         assert measured <= 1.5 * bound + 3 * sigma + 2e-5, (size2, k, n, measured, bound)
+
+
+@pytest.mark.parametrize("size2,k", GRID)
+def test_unblocked_variant_grid(size2, k):
+    """The reference's BASIC (non-blocked) variant semantics
+    (src/bloom_filter_factory.cpp:19-47, src/standard_bloom_filter.cpp:14-29):
+    k positions placed independently across the whole filter. Same invariant
+    grid as the blocked tests: weight bounds, no false negatives, order,
+    serialize round-trip, idempotent re-insert."""
+    bf = BlockedBloomFilter(size2=size2, nb_hash=k, blocked=False)
+    assert bf.n_blocks == 1 and bf.block_bits == bf.m_bits
+    assert bf.get_weight() == 0
+    items = _items()
+    bf.insert_bulk(items)
+    w = bf.get_weight()
+    assert 0 < w <= k * NB_ITEMS
+    assert bf.contains_bulk(items).all(), "false negative"
+    again = BlockedBloomFilter(size2=size2, nb_hash=k, blocked=False)
+    again.insert_bulk(items)
+    again.insert_bulk(items)  # idempotent re-insert
+    assert again.payload() == bf.payload()
+    restored = sketch_from_bytes(bf.to_bytes())
+    assert restored.payload() == bf.payload()
+    assert restored.config()["blocked"] is False
+    assert restored.contains_bulk(items).all()
+
+
+def test_unblocked_fpr_near_ideal_bound():
+    """Measured FPR of the unblocked variant tracks the ideal-Bloom formula
+    (the whole point of BASIC: minimum FPR at fixed m). Geometry chosen so
+    the ideal FPR is large enough to measure: m=2^18, n=20k, k=4 ->
+    ideal ~4.7e-3."""
+    n = 20_000
+    bf = BlockedBloomFilter(size2=18, nb_hash=4, blocked=False)
+    bf.insert_bulk(np.arange(n, dtype=np.int64))
+    neg = np.arange(1_000_000, 1_500_000, dtype=np.int64)
+    measured = bf.contains_bulk(neg).mean()
+    bound = bf.theoretical_fpr_bound(n)
+    assert 0.5 * bound <= measured <= 1.5 * bound, (measured, bound)
+
+
+def test_unblocked_beats_blocked_at_low_fill():
+    """At low fill the blocked construction pays its double-hash in-block
+    floor; the unblocked variant's measured FPR must be materially lower at
+    the same (m, k, n) — the reason a min-FPR user picks BASIC."""
+    n, size2, k = 100_000, 26, 8
+    items = np.arange(n, dtype=np.int64)
+    neg = np.arange(5_000_000, 7_000_000, dtype=np.int64)
+    blocked = BlockedBloomFilter(size2=size2, nb_hash=k)
+    blocked.insert_bulk(items)
+    basic = BlockedBloomFilter(size2=size2, nb_hash=k, blocked=False)
+    basic.insert_bulk(items)
+    fp_blocked = blocked.contains_bulk(neg).sum()
+    fp_basic = basic.contains_bulk(neg).sum()
+    assert fp_basic < fp_blocked, (fp_basic, fp_blocked)
+    assert basic.theoretical_fpr_bound(n) < blocked.theoretical_fpr_bound(n)

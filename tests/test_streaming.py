@@ -127,3 +127,45 @@ def test_dedup_stream(spark, tmp_path_factory):
     # 1000 shared keys kept exactly once + 3x1000 fresh keys
     assert got.count() == 4000
     assert got.select("id").distinct().count() == 4000
+
+
+def test_sharded_dedup_stream(spark, tmp_path_factory):
+    """Executor-side sharded Bloom dedup: cross-batch duplicates dropped via
+    state-store bitmaps (no driver filter, no per-batch re-ship); output ==
+    exact first-occurrence key set (FPR ~0 at this sizing); restart resumes
+    from the transactional state store."""
+    from pimbloomfilters_spark.streaming import sharded_dedup_stream
+
+    data_dir = str(tmp_path_factory.mktemp("sd_in"))
+    out_dir = str(tmp_path_factory.mktemp("sd_out")) + "/result"
+    ckpt = str(tmp_path_factory.mktemp("sd_ckpt"))
+    for i in range(3):
+        spark.range(0, 1000).union(
+            spark.range(10_000 + i * 1000, 10_000 + (i + 1) * 1000)
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+
+    def _run():
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1).parquet(data_dir)
+        )
+        q = (
+            sharded_dedup_stream(stream, "id", size2=24, n_shards=16)
+            .writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    _run()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 4000
+    assert got.select("id").distinct().count() == 4000
+
+    # restart with NEW data containing only already-seen keys + one fresh range
+    spark.range(0, 1000).union(spark.range(20_000, 21_000)) \
+        .coalesce(1).write.mode("append").parquet(data_dir)
+    _run()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 5000, "state must survive the restart"
+    assert got.select("id").distinct().count() == 5000
