@@ -2,14 +2,15 @@
 metadata, processed through mapInPandas/mapInArrow with real schemas,
 partitioning, and batch shapes.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode step is STUBBED two ways:
-- ``decode_image(..., codec="real")`` raises NotImplementedError — the seam
-  where a real decoder plugs in;
-- ``codec="fake"`` (default in tests) parses our deterministic PBM1 header
-  (12-byte h/w/c little-endian + raw payload) so the Spark-side plumbing —
-  schema, UDF signature, per-batch memory shape, partition sizing — is real
-  and tested end-to-end.
+Three codec paths:
+- ``codec="ppm"``: a REAL public image format — binary netpbm (P6 RGB / P5
+  grayscale), encoded and decoded here in pure numpy (no external libs), so
+  at least one genuine standards-compliant decode path runs end-to-end;
+- ``codec="fake"``: our deterministic PBM1 container (12-byte h/w/c header +
+  raw frames) used for multi-frame video payloads and the oracle gate;
+- ``codec="real"`` raises NotImplementedError — the seam where compressed
+  codecs (JPEG/PNG via PIL, video via ffmpeg) plug in; those libraries are
+  not in this container.
 
 Scale notes: binary payloads make row-group sizing the knob that matters —
 ``spark.sql.files.maxPartitionBytes`` bounds scan partitions; Arrow batch
@@ -76,20 +77,100 @@ def _decode_fake(blob: bytes) -> np.ndarray:
     return frames.reshape(-1, h, w, c)  # (n_frames, h, w, c)
 
 
+# ---------------------------------------------------------------- netpbm
+# Binary netpbm is the one standard raster format decodable with stdlib +
+# numpy alone: "P6\n<w> <h>\n<maxval>\n" + raw RGB (P5 = grayscale). Spec:
+# https://netpbm.sourceforge.net/doc/ppm.html (public).
+
+def encode_netpbm(frame: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> P6 bytes; (h, w) or (h, w, 1) uint8 -> P5 bytes."""
+    frame = np.asarray(frame, dtype=np.uint8)
+    if frame.ndim == 3 and frame.shape[2] == 1:
+        frame = frame[:, :, 0]
+    if frame.ndim == 3:
+        if frame.shape[2] != 3:
+            raise ValueError("P6 needs 3 channels")
+        magic = b"P6"
+    elif frame.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError("expected (h, w[, c]) uint8 image")
+    h, w = frame.shape[:2]
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + frame.tobytes()
+
+
+def decode_netpbm(blob: bytes) -> np.ndarray:
+    """P6/P5 bytes -> (h, w, 3) or (h, w, 1) uint8. Handles whitespace runs
+    and '#' comments in the header per the netpbm spec."""
+    if blob[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {blob[:2]!r}")
+    channels = 3 if blob[:2] == b"P6" else 1
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while blob[pos:pos + 1].isspace():
+            pos += 1
+        if blob[pos:pos + 1] == b"#":  # comment runs to end of line
+            pos = blob.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not blob[end:end + 1].isspace():
+            end += 1
+        tokens.append(int(blob[pos:end]))
+        pos = end
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit netpbm supported")
+    pos += 1  # exactly one whitespace byte after maxval, then raster
+    px = np.frombuffer(blob, dtype=np.uint8, offset=pos,
+                       count=h * w * channels)
+    return px.reshape(h, w, channels)
+
+
+def synth_netpbm_images(spark: SparkSession, n_rows: int = 200,
+                        num_partitions: int | None = None) -> DataFrame:
+    """Deterministic table of REAL P6 images (noise pixels from splitmix64),
+    same schema as ``synth_multimodal`` with modality='image', n_frames=1."""
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                u = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                h, w = 8 + u % 8, 8 + (u >> 4) % 8
+                px = (
+                    splitmix64(np.arange(h * w * 3, dtype=np.uint64)
+                               + np.uint64(i * 2_000_003))
+                    & np.uint64(0xFF)
+                ).astype(np.uint8).reshape(h, w, 3)
+                rows.append((int(i), "image", encode_netpbm(px), w, h, 3, 1,
+                             f"src{u % 4}"))
+            yield pd.DataFrame(rows, columns=[
+                "item_id", "modality", "data", "width", "height",
+                "channels", "n_frames", "source"])
+
+    return spark.range(0, n_rows, numPartitions=num_partitions).mapInPandas(
+        _gen, schema=MULTIMODAL_SCHEMA
+    )
+
+
 def decode_image(df: DataFrame, data_col: str = "data",
                  codec: str = "fake") -> DataFrame:
-    """Adds decoded stats columns. codec='real' is the unimplemented seam."""
+    """Adds decoded stats columns. codec: 'fake' (PBM1 container), 'ppm'
+    (real binary netpbm), 'real' (unimplemented compressed-codec seam)."""
     if codec == "real":
         raise NotImplementedError(
-            "real image decoding requires PIL/libvips, not present in this "
-            "environment; plug a decoder into _decode_fake's position"
+            "compressed image decoding (JPEG/PNG) requires PIL/libvips, not "
+            "present in this environment; uncompressed standard rasters are "
+            "supported via codec='ppm'"
         )
+    decode = _decode_fake if codec == "fake" \
+        else (lambda blob: decode_netpbm(blob)[None, :, :, :])
 
     def _stats(batches):
         for pdf in batches:
             outs = []
             for blob in pdf[data_col]:
-                arr = _decode_fake(bytes(blob))
+                arr = decode(bytes(blob))
                 outs.append((float(arr.mean()), float(arr.std()), int(arr.shape[0])))
             res = pdf[["item_id"]].copy()
             res[["px_mean", "px_std", "decoded_frames"]] = outs

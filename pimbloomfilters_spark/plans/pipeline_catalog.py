@@ -300,6 +300,34 @@ FROM generate_series(0, 199) AS g(x)
 """
 
 
+def q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec decode gate: a table of genuine binary-netpbm (P6) images
+    is decoded by the standards-compliant numpy parser; per item, the decoded
+    frame count, the exact P6 payload length (ASCII header + w*h*3 raster
+    bytes), and pixel-stat ranges must all hold."""
+    mm = multimodal.synth_netpbm_images(spark, 200, num_partitions=8)
+    dec = multimodal.decode_image(mm, codec="ppm")
+    blen = mm.select("item_id", F.length("data").alias("blen"))
+    hdr_len = F.length(
+        F.format_string("P6\n%d %d\n255\n", F.col("width"), F.col("height"))
+    )
+    return dec.join(blen, "item_id").select(
+        "item_id",
+        (F.col("decoded_frames") == 1).alias("frames_ok"),
+        (F.col("blen") == hdr_len
+         + F.col("width") * F.col("height") * 3).alias("payload_len_ok"),
+        ((F.col("px_mean") >= 0) & (F.col("px_mean") <= 255)
+         & (F.col("px_std") >= 0)).alias("px_stats_ok"),
+    )
+
+
+_ORACLE_PPM = """
+SELECT CAST(g.x AS BIGINT) AS item_id, TRUE AS frames_ok,
+       TRUE AS payload_len_ok, TRUE AS px_stats_ok
+FROM generate_series(0, 199) AS g(x)
+"""
+
+
 PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(q_lang_id, _ORACLE_LANG,
                          "stopword-profile language-ID heuristic"),
@@ -329,5 +357,8 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         "multiprobe LSH retrieves planted near-dup sources above recall floor"),
     "multimodal_decode_stats": QuerySpec(
         q_multimodal_decode_stats, _ORACLE_MULTIMODAL,
-        "real decode path consistency per item: frames/payload/pixel stats"),
+        "decode path consistency per item: frames/payload/pixel stats"),
+    "multimodal_ppm_decode": QuerySpec(
+        q_multimodal_ppm_decode, _ORACLE_PPM,
+        "REAL binary-netpbm (P6) decode: header geometry + payload + stats"),
 }

@@ -233,6 +233,32 @@ def test_multimodal_pipeline(spark):
     assert all(0.0 <= x <= 1.0 for x in f["feature"])
 
 
+def test_netpbm_roundtrip_and_spec_quirks():
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    assert (multimodal.decode_netpbm(multimodal.encode_netpbm(rgb)) == rgb).all()
+    gray = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    out = multimodal.decode_netpbm(multimodal.encode_netpbm(gray))
+    assert out.shape == (5, 6, 1) and (out[:, :, 0] == gray).all()
+    # spec quirks a third-party encoder may emit: comments + whitespace runs
+    quirky = b"P6\n# made by gimp\n 7\t9 \n# another\n255\n" + rgb.tobytes()
+    assert (multimodal.decode_netpbm(quirky) == rgb).all()
+    with pytest.raises(ValueError):
+        multimodal.decode_netpbm(b"JFIF....")
+
+
+def test_netpbm_spark_decode(spark):
+    mm = multimodal.synth_netpbm_images(spark, 40, num_partitions=4).cache()
+    assert mm.count() == 40
+    # every payload is genuine P6
+    first = mm.first()
+    assert bytes(first["data"])[:2] == b"P6"
+    dec = multimodal.decode_image(mm, codec="ppm")
+    rows = dec.collect()
+    assert all(r["decoded_frames"] == 1 for r in rows)
+    assert all(0 <= r["px_mean"] <= 255 for r in rows)
+
+
 def test_multimodal_real_codec_is_stubbed(spark):
     mm = multimodal.synth_multimodal(spark, 4)
     with pytest.raises(NotImplementedError):
