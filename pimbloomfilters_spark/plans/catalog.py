@@ -434,6 +434,52 @@ CATALOG["checkpoint_resume"] = QuerySpec(
 )
 
 
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (KMV) set algebra, the operation Bloom/HLL can't do well:
+    distinct-customer sets of two order years, union/intersection/difference
+    estimated from two k=256 sketches and gated against exact counts within
+    the published bounds (union rse ~1/sqrt(k-2); intersection/difference sd
+    = sqrt(n(1-theta)/theta), binomial thinning at the sampling threshold).
+    In exact mode (fewer than k distinct) the estimates are exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    theta = functools.partial(make_sketch, "theta", k=256)
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    ska, _ = build_sketch(a, "o_custkey", theta)
+    skb, _ = build_sketch(b, "o_custkey", theta)
+    da, db = a.distinct(), b.distinct()
+    exact_a, exact_b = da.count(), db.count()
+    exact_inter = da.join(db, "o_custkey").count()
+    exact_union = exact_a + exact_b - exact_inter
+    u = ska.union(skb)
+    union_ok = abs(u.estimate() - exact_union) \
+        <= 5 * u.relative_error() * exact_union + 1
+    inter_ok = abs(ska.intersection_estimate(skb) - exact_inter) \
+        <= 5 * ska.intersection_sd(skb, exact_inter) + 1
+    diff_ok = abs(ska.difference_estimate(skb) - (exact_a - exact_inter)) \
+        <= 5 * ska.intersection_sd(skb, exact_a - exact_inter) + 1
+    return spark.createDataFrame(
+        [(exact_union, exact_inter, bool(union_ok), bool(inter_ok), bool(diff_ok))],
+        "exact_union bigint, exact_inter bigint, union_ok boolean, "
+        "inter_ok boolean, diff_ok boolean",
+    )
+
+
+CATALOG["theta_set_ops"] = QuerySpec(
+    q_theta_set_ops,
+    """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT)
+           AS exact_union,
+       CAST((SELECT count(*) FROM a JOIN b USING (o_custkey)) AS BIGINT)
+           AS exact_inter,
+       TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+""",
+    "theta-sketch union/intersection/difference within published bounds",
+)
+
+
 def _register_pipeline_catalog() -> None:
     from .analytics_catalog import ANALYTICS_CATALOG
     from .events_catalog import EVENTS_CATALOG

@@ -15,6 +15,7 @@ from .cms import CountMinSketch
 from .kll import KLLSketch
 from .mg import MisraGries
 from .tdigest import TDigest
+from .theta import ThetaSketch
 from .factory import make_sketch, SKETCH_KINDS
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "KLLSketch",
     "TDigest",
     "MisraGries",
+    "ThetaSketch",
     "make_sketch",
     "SKETCH_KINDS",
 ]

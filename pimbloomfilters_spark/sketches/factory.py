@@ -11,6 +11,7 @@ from .hll import HyperLogLog
 from .kll import KLLSketch
 from .mg import MisraGries
 from .tdigest import TDigest
+from .theta import ThetaSketch
 
 SKETCH_KINDS = {
     "bloom": BlockedBloomFilter,
@@ -19,6 +20,7 @@ SKETCH_KINDS = {
     "kll": KLLSketch,
     "tdigest": TDigest,
     "mg": MisraGries,
+    "theta": ThetaSketch,
 }
 
 

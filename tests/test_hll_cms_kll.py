@@ -280,3 +280,68 @@ def test_mg_merge_preserves_bound():
     assert (est <= true_counts).all()
     assert (true_counts - est <= merged.error_bound() + 1e-9).all()
     assert merged.n == len(vals)
+
+
+# ---------------------------------------------------------------- theta
+def test_theta_estimate_and_modes():
+    from pimbloomfilters_spark.sketches import ThetaSketch, sketch_from_bytes
+
+    sk = ThetaSketch(k=512)
+    sk.insert_bulk(np.arange(300, dtype=np.int64))
+    assert sk.estimate() == 300.0 and sk.relative_error() == 0.0  # exact mode
+    sk.insert_bulk(np.arange(50_000, dtype=np.int64))  # idempotent + growth
+    est = sk.estimate()
+    assert abs(est - 50_000) <= 5 * sk.relative_error() * 50_000
+    rt = sketch_from_bytes(sk.to_bytes())
+    assert rt.payload() == sk.payload() and rt.estimate() == est
+
+
+def test_theta_merge_equals_single_stream():
+    """Union-merge == single-stream build, byte-identical — the property that
+    makes the theta sketch partition-parallel with NO merge error."""
+    from pimbloomfilters_spark.sketches import ThetaSketch
+
+    rng = np.random.default_rng(7)
+    parts = [rng.integers(0, 1 << 40, 20_000).astype(np.int64) for _ in range(4)]
+    merged = ThetaSketch(k=1024)
+    for p in parts:
+        part_sk = ThetaSketch(k=1024)
+        part_sk.insert_bulk(p)
+        merged.merge(part_sk)
+    single = ThetaSketch(k=1024)
+    single.insert_bulk(np.concatenate(parts))
+    assert merged.payload() == single.payload()
+
+
+def test_theta_set_ops_bounds():
+    from pimbloomfilters_spark.sketches import ThetaSketch
+
+    a_keys = np.arange(0, 60_000, dtype=np.int64)
+    b_keys = np.arange(40_000, 110_000, dtype=np.int64)
+    sa = ThetaSketch(k=1024); sa.insert_bulk(a_keys)
+    sb = ThetaSketch(k=1024); sb.insert_bulk(b_keys)
+    u = sa.union(sb)
+    assert abs(u.estimate() - 110_000) <= 5 * u.relative_error() * 110_000
+    assert abs(sa.intersection_estimate(sb) - 20_000) \
+        <= 5 * sa.intersection_sd(sb, 20_000) + 1
+    assert abs(sa.difference_estimate(sb) - 40_000) \
+        <= 5 * sa.intersection_sd(sb, 40_000) + 1
+
+
+def test_theta_distributed_build(spark, sf_dir):
+    """build_sketch over partitions == numpy single-stream, byte-identical."""
+    import functools
+
+    from pimbloomfilters_spark.operators import build_sketch
+    from pimbloomfilters_spark.sketches import ThetaSketch, make_sketch
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(8)
+    sk, _ = build_sketch(orders, "o_custkey",
+                         functools.partial(make_sketch, "theta", k=256))
+    keys = np.array([r[0] for r in orders.select("o_custkey").collect()],
+                    dtype=np.int64)
+    solo = ThetaSketch(k=256)
+    solo.insert_bulk(keys)
+    assert sk.payload() == solo.payload()
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(sk.estimate() - exact) <= 5 * max(sk.relative_error(), 1e-9) * exact + 1
