@@ -434,6 +434,60 @@ CATALOG["checkpoint_resume"] = QuerySpec(
 )
 
 
+def q_bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join (the classic engine use of the sketch):
+    orders prefiltered by a Bloom of nation-3 customers' keys before the
+    join. Exact vs a plain SQL join at ANY filter geometry — no-FN keeps all
+    matches, the join kills false positives — so the gate is hash-exact, not
+    a bound check."""
+    from ..operators.joins import bloom_runtime_filter_join
+
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == 3
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = bloom_runtime_filter_join(
+        orders, customer, "o_custkey", "c_custkey", **_GATED_BLOOM
+    )
+    return joined.groupBy("c_custkey").agg(F.count("*").alias("n_orders"))
+
+
+CATALOG["bloom_runtime_filter_join"] = QuerySpec(
+    q_bloom_runtime_filter_join,
+    """
+SELECT c.c_custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey = 3
+GROUP BY c.c_custkey
+""",
+    "Bloom prefilter + join == plain join, exact per customer",
+)
+
+
+def q_bloom_probe_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The never-materialize-the-filter path as a gate: sharded build +
+    cogroup probe (each task reads only its m/n_shards bit slice), same
+    truth table as the broadcast probe gates."""
+    from ..operators.sharded import build_bloom_shards, probe_bloom_distributed
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    shards = build_bloom_shards(
+        orders, "o_custkey", n_shards=32, **_GATED_BLOOM
+    )
+    return probe_bloom_distributed(
+        customer.select("c_custkey"), shards, "c_custkey",
+        n_shards=32, **_GATED_BLOOM,
+    )
+
+
+CATALOG["bloom_probe_distributed"] = QuerySpec(
+    q_bloom_probe_distributed,
+    _ORACLE_BLOOM_CUSTKEY,
+    "sharded cogroup probe (filter never on one node) == exact semi-join",
+)
+
+
 def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta (KMV) set algebra, the operation Bloom/HLL can't do well:
     distinct-customer sets of two order years, union/intersection/difference

@@ -111,3 +111,38 @@ def test_grouped_build_matches_per_group(spark, sf_dir):
     plan = _plan(grouped)
     assert "Exchange hashpartitioning(source" in plan
     assert "Exchange" not in plan[plan.rindex("MapInPandas"):]
+
+
+def test_runtime_filter_join_exact_even_when_filter_saturated(spark, sf_dir):
+    """Correctness is independent of filter geometry: an absurdly undersized
+    Bloom (size2=6 -> FPR near 1) must still give exactly the plain join —
+    false positives die in the join; no-FN keeps every match."""
+    from pimbloomfilters_spark.operators import bloom_runtime_filter_join
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_nationkey") == 3).select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = bloom_runtime_filter_join(
+        orders, customer, "o_custkey", "c_custkey", size2=6, nb_hash=4
+    ).groupBy("c_custkey").agg(F.count("*").alias("n"))
+    exact = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey").agg(F.count("*").alias("n"))
+    )
+    assert {(r["c_custkey"], r["n"]) for r in got.collect()} \
+        == {(r["c_custkey"], r["n"]) for r in exact.collect()}
+
+
+def test_runtime_filter_join_plan_shape(spark, sf_dir):
+    """The prefilter must run below the join (fact rows dropped before the
+    join), and the dim side must broadcast — the 100 TB-relevant shape."""
+    from pimbloomfilters_spark.operators import bloom_runtime_filter_join
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_nationkey") == 3).select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    joined = bloom_runtime_filter_join(orders, customer, "o_custkey", "c_custkey")
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    # the probe UDF (the prefilter) must appear below the join in the tree
+    assert plan.index("BroadcastHashJoin") < plan.rindex("ArrowEvalPython")
