@@ -83,6 +83,31 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum glyphs —
+# the usual GPT-2-style split shape, restricted to ASCII classes so Java
+# regex and RE2 (DuckDB) agree exactly. Alternatives cover disjoint character
+# classes, so leftmost-first vs leftmost-longest cannot diverge.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_distinct_bpe, ttr_bp): BPE-ish token count,
+    distinct-token count, and type-token ratio in basis points (integer math
+    end-to-end, so exactly oracle-checkable) — the lexical-diversity quality
+    signal of a training-data pipeline."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), F.lit(0))
+    return (
+        df.select(
+            "doc_id",
+            F.size(toks).alias("n_bpe_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+        )
+        .withColumn("ttr_bp", F.expr(
+            "CAST((n_distinct_bpe * 10000) div greatest(n_bpe_tokens, 1) AS INT)"
+        ))
+    )
+
+
 def doc_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content hash fingerprint (md5 hex — identical in Spark and DuckDB)."""
     return df.select("doc_id", F.md5(F.col(text_col)).alias("fingerprint"))

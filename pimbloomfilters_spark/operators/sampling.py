@@ -44,3 +44,29 @@ def stratified_sample(df: DataFrame, k_per_stratum: int, key_col: str,
         .filter(F.col("_rn") <= k_per_stratum)
         .drop("_rn")
     )
+
+
+def weighted_sample(df: DataFrame, k: int, key_col: str,
+                    weight_col) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    keep the k rows with the largest ln(u)/w, u a deterministic uniform in
+    (0, 1] derived from md5(key). Inclusion probability grows with weight;
+    taking the top-k by u^(1/w) (equivalently ln(u)/w — exp is monotone) is
+    the published exponential-race construction.
+
+    Determinism across engines: u uses exactly 13 hex digits of the md5
+    (52 bits < 2^53), so the integer, the division by 2^52 (a power of two),
+    ln(), and the divide by the integer weight are all bit-exact doubles in
+    both Spark and DuckDB — the oracle reproduces the sample byte-for-byte.
+    Plan shape: TakeOrderedAndProject, same as ``uniform_sample``."""
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    u = (
+        F.conv(F.substring(_priority(key_col), 1, 13), 16, 10).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    return (
+        df.withColumn("_pri", F.log(u) / w)
+        .orderBy(F.desc("_pri"), F.asc(key_col))
+        .limit(k)
+        .drop("_pri")
+    )

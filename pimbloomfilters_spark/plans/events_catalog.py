@@ -8,7 +8,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import build_sketch_grouped
-from ..operators.sampling import stratified_sample, uniform_sample
+from ..operators.sampling import stratified_sample, uniform_sample, weighted_sample
 from ..sketches import make_sketch
 from ..sources.tables import load_table
 from .catalog import QuerySpec
@@ -97,7 +97,29 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sample: 50 docs drawn without replacement with
+    inclusion probability increasing in word count (A-ES exponential race)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " "))
+    return weighted_sample(docs, 50, "doc_id", w).select("doc_id", "source")
+
+
+_ORACLE_WEIGHTED = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+            / 4503599627370496.0)
+         / len(string_split(text, ' ')) AS pri
+  FROM documents
+) ORDER BY pri DESC, doc_id ASC LIMIT 50
+"""
+
+
 EVENTS_CATALOG: dict[str, QuerySpec] = {
+    "weighted_sample": QuerySpec(
+        q_weighted_sample, _ORACLE_WEIGHTED,
+        "deterministic weight-proportional sample (Efraimidis-Spirakis)"),
     "events_hourly_counts": QuerySpec(q_events_hourly_counts, _ORACLE_HOURLY,
                                       "tumbling-hour event counts"),
     "events_user_distinct": QuerySpec(q_events_user_distinct, _ORACLE_USER_DISTINCT,

@@ -67,6 +67,22 @@ FROM documents
 """
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_TOKEN_STATS = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{text.BPE_RE}')) AS INT) AS n_bpe_tokens,
+  CAST(len(list_distinct(regexp_extract_all(text, '{text.BPE_RE}'))) AS INT)
+      AS n_distinct_bpe,
+  CAST((len(list_distinct(regexp_extract_all(text, '{text.BPE_RE}'))) * 10000)
+       // greatest(len(regexp_extract_all(text, '{text.BPE_RE}')), 1) AS INT)
+      AS ttr_bp
+FROM documents
+"""
+
+
 def q_doc_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_md5(load_table(spark, sf_dir, "documents"))
 
@@ -333,6 +349,8 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
                          "stopword-profile language-ID heuristic"),
     "quality_counts": QuerySpec(q_quality_counts, _ORACLE_QUALITY,
                                 "integer text-quality signals"),
+    "token_stats": QuerySpec(q_token_stats, _ORACLE_TOKEN_STATS,
+                             "BPE-ish tokenizer counts + type-token ratio"),
     "doc_fingerprint_md5": QuerySpec(q_doc_md5, _ORACLE_MD5,
                                      "content-hash fingerprint"),
     "doc_rolling_fingerprints": QuerySpec(

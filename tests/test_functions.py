@@ -263,3 +263,34 @@ def test_multimodal_real_codec_is_stubbed(spark):
     mm = multimodal.synth_multimodal(spark, 4)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(mm, codec="real")
+
+
+def test_token_stats_invariants(spark, docs):
+    ts = text.token_stats(docs)
+    bad = ts.filter(
+        (F.col("n_distinct_bpe") > F.col("n_bpe_tokens"))
+        | (F.col("ttr_bp") < 0) | (F.col("ttr_bp") > 10000)
+    ).count()
+    assert bad == 0
+    row = ts.join(docs, "doc_id").first()
+    import re
+    toks = re.findall(text.BPE_RE, row["text"])
+    assert row["n_bpe_tokens"] == len(toks)
+    assert row["n_distinct_bpe"] == len(set(toks))
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Heavier rows must be sampled more often: weight 100 vs 1 on half the
+    keys -> the heavy half should dominate a k=100 sample of 2000 rows."""
+    from pimbloomfilters_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 2000).withColumn(
+        "w", F.when(F.col("id") < 1000, F.lit(100)).otherwise(F.lit(1))
+    )
+    got = weighted_sample(df, 100, "id", "w").collect()
+    heavy = sum(1 for r in got if r["id"] < 1000)
+    assert len(got) == 100
+    assert heavy >= 90, f"only {heavy}/100 from the weight-100 half"
+    # determinism
+    again = weighted_sample(df, 100, "id", "w").collect()
+    assert [r["id"] for r in got] == [r["id"] for r in again]
