@@ -245,9 +245,9 @@ def run_scaling() -> None:
                 results[cpus] = r
             else:
                 for k, v in r["queries"].items():
-                    prev["queries"][k] = min(prev["queries"][k], v)
+                    prev["queries"][k] = min(prev["queries"].get(k, v), v)
                 for k, v in r["throughput"].items():
-                    prev["throughput"][k] = max(prev["throughput"][k], v)
+                    prev["throughput"][k] = max(prev["throughput"].get(k, v), v)
     rA, rB = results[n_cores], results[n_cores * 4]
     lines = ["# BENCH — weak-scaling efficiency (sandbox N vs 4N evidence)",
              "",

@@ -4,6 +4,7 @@ from .stream_build import (
     sharded_dedup_stream,
     sketch_stream_query,
     windowed_distinct_stream,
+    windowed_heavy_hitters_stream,
 )
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "get_stream_sketch",
     "sharded_dedup_stream",
     "windowed_distinct_stream",
+    "windowed_heavy_hitters_stream",
     "dedup_stream_query",
 ]

@@ -216,6 +216,79 @@ def dedup_stream_query(
     )
 
 
+_HH_OUT = StructType([
+    StructField("window_start", TimestampType()),
+    StructField("item", LongType()),
+    StructField("est_count", LongType()),
+    StructField("n_rows", LongType()),
+])
+_HH_STATE = StructType(
+    [StructField("mg", BinaryType()), StructField("n_rows", LongType())]
+)
+
+
+def windowed_heavy_hitters_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    k: int = 256,
+    top: int = 10,
+) -> DataFrame:
+    """Per-event-time-window streaming heavy hitters via a Misra–Gries
+    summary held as GroupState: each update emits the window's current top
+    items with their (one-sided under-) estimates; any item whose true count
+    exceeds n/(k+1) is guaranteed present. State is evicted once the
+    watermark passes window_end + watermark (EventTimeTimeout), same
+    discipline as ``windowed_distinct_stream``."""
+    from ..sketches import MisraGries
+
+    window_ms = _duration_ms(window)
+    watermark_ms = _duration_ms(watermark)
+
+    with_window = (
+        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn("_w", F.window(F.col(ts_col), window).getField("start"))
+        .withColumn("_k", F.col(key_col).cast("long"))
+        .select("_w", "_k", ts_col)
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (wstart,) = key
+        if state.exists:
+            blob, n = state.get
+            mg = sketch_from_bytes(bytes(blob))
+        else:
+            mg, n = MisraGries(k=k), 0
+        for pdf in pdfs:
+            vals = pdf["_k"].to_numpy(dtype=np.int64)
+            mg.insert_bulk(vals)
+            n += len(vals)
+        state.update((mg.to_bytes(), n))
+        end_ms = int(pd.Timestamp(wstart).value // 1_000_000) + window_ms
+        state.setTimeoutTimestamp(end_ms + watermark_ms)
+        hh = mg.heavy_hitters()[:top]
+        yield pd.DataFrame({
+            "window_start": [wstart] * len(hh),
+            "item": [item for item, _ in hh],
+            "est_count": [est for _, est in hh],
+            "n_rows": [n] * len(hh),
+        })
+
+    return with_window.groupBy("_w").applyInPandasWithState(
+        _update,
+        outputStructType=_HH_OUT,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def sharded_dedup_stream(
     stream_df: DataFrame,
     key_col: str,

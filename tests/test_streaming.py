@@ -169,3 +169,42 @@ def test_sharded_dedup_stream(spark, tmp_path_factory):
     got = spark.read.parquet(out_dir)
     assert got.count() == 5000, "state must survive the restart"
     assert got.select("id").distinct().count() == 5000
+
+
+def test_windowed_heavy_hitters_stream(spark, tmp_path_factory):
+    """Streaming MG heavy hitters: a planted skew (3 hot keys) must surface
+    in every window's top list, with under-estimates within n/(k+1)."""
+    from pimbloomfilters_spark.streaming import windowed_heavy_hitters_stream
+
+    data_dir = str(tmp_path_factory.mktemp("hh_in"))
+    # one hour of events: ids 0..2 hot (100x), 1000 cold ids
+    rows = []
+    for m in range(60):
+        ts = f"2024-01-01 10:{m:02d}:00"
+        rows += [(ts, h) for h in (0, 1, 2) for _ in range(20)]
+        rows += [(ts, 100 + (m * 97 + j) % 1000) for j in range(30)]
+    spark.createDataFrame(rows, "ts string, user_id long") \
+        .coalesce(2).write.mode("overwrite").parquet(data_dir)
+
+    stream = spark.readStream.schema("ts string, user_id long").parquet(data_dir)
+    out = windowed_heavy_hitters_stream(
+        stream, "ts", "user_id", window="30 minutes", watermark="1 hour", k=64
+    )
+    q = (
+        out.writeStream.format("memory").queryName("win_hh")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from win_hh").collect()
+    assert got
+    by_window: dict = {}
+    for r in got:
+        by_window.setdefault(r["window_start"], {})[r["item"]] = (
+            r["est_count"], r["n_rows"])
+    # per window: each hot key appears 20x per minute x 30 min = 600
+    for w, items in by_window.items():
+        for hot in (0, 1, 2):
+            assert hot in items, (w, sorted(items))
+            est, n = items[hot]
+            assert est <= 600
+            assert 600 - est <= n / (64 + 1) + 1e-9
