@@ -38,17 +38,23 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    b = sub.add_parser("build")
-    b.add_argument("--input", required=True)
-    b.add_argument("--col", required=True)
-    b.add_argument("--kind", default="bloom",
-                   choices=["bloom", "hll", "cms", "kll", "tdigest"])
-    b.add_argument("--size2", type=int, default=24)
-    b.add_argument("--nb-hash", type=int, default=8)
-    b.add_argument("--hll-p", type=int, default=14)
-    b.add_argument("--cms-eps", type=float, default=1e-4)
-    b.add_argument("--cms-delta", type=float, default=1e-3)
-    b.add_argument("--k", type=int, default=200)
+    def _build_args(b):
+        b.add_argument("--input", required=True)
+        b.add_argument("--col", required=True)
+        b.add_argument("--kind", default="bloom",
+                       choices=["bloom", "hll", "cms", "kll", "tdigest",
+                                "mg", "theta"])
+        b.add_argument("--size2", type=int, default=24)
+        b.add_argument("--nb-hash", type=int, default=8)
+        b.add_argument("--unblocked", action="store_true",
+                       help="BASIC (non-blocked) bloom variant: min FPR at fixed m")
+        b.add_argument("--hll-p", type=int, default=14)
+        b.add_argument("--cms-eps", type=float, default=1e-4)
+        b.add_argument("--cms-delta", type=float, default=1e-3)
+        b.add_argument("--k", type=int, default=200)
+        return b
+
+    b = _build_args(sub.add_parser("build"))
     b.add_argument("--out", required=True)
     b.add_argument("--checkpoint-dir", default=None)
     b.add_argument("--build-id", default="adhoc")
@@ -57,6 +63,14 @@ def main() -> int:
     b.add_argument("--sharded", action="store_true",
                    help="bit-range-sharded bloom build (large m)")
     b.add_argument("--n-shards", type=int, default=64)
+
+    g = _build_args(sub.add_parser(
+        "build-grouped",
+        help="one sketch PER GROUP in one job; writes a parquet of "
+             "(group_cols..., sketch, n_rows, n_values)"))
+    g.add_argument("--group-cols", required=True,
+                   help="comma-separated grouping columns")
+    g.add_argument("--out", required=True)
 
     p = sub.add_parser("probe")
     p.add_argument("--input", required=True)
@@ -68,7 +82,11 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    from pimbloomfilters_spark.operators import build_sketch, probe_key_column
+    from pimbloomfilters_spark.operators import (
+        build_sketch,
+        build_sketch_grouped,
+        probe_key_column,
+    )
     from pimbloomfilters_spark.operators.checkpoint import build_with_checkpoint
     from pimbloomfilters_spark.operators.sharded import build_bloom_sharded
     from pimbloomfilters_spark.sketches import make_sketch, sketch_from_bytes
@@ -76,18 +94,36 @@ def main() -> int:
     spark = SparkSession.builder.appName(f"pbf-{args.cmd}").getOrCreate()
     df = spark.read.parquet(args.input)
 
-    if args.cmd == "build":
+    if args.cmd in ("build", "build-grouped"):
         cfgs = {
-            "bloom": dict(size2=args.size2, nb_hash=args.nb_hash),
+            "bloom": dict(size2=args.size2, nb_hash=args.nb_hash,
+                          blocked=not args.unblocked),
             "hll": dict(p=args.hll_p),
             "cms": dict(eps=args.cms_eps, delta=args.cms_delta),
             "kll": dict(k=args.k),
             "tdigest": dict(delta=args.k),
+            "mg": dict(k=args.k),
+            "theta": dict(k=max(args.k, 16)),
         }
         factory = functools.partial(make_sketch, args.kind, **cfgs[args.kind])
+
+    if args.cmd == "build-grouped":
+        out = build_sketch_grouped(df, args.group_cols.split(","), args.col,
+                                   factory)
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "kind": args.kind, "groups": n}))
+        spark.stop()
+        return 0
+
+    if args.cmd == "build":
         if args.sharded and args.kind == "bloom":
-            sk = build_bloom_sharded(df, args.col, n_shards=args.n_shards,
-                                     **cfgs["bloom"])
+            if args.unblocked:
+                raise SystemExit("--sharded requires the blocked layout "
+                                 "(disjoint bit-ranges need blocks)")
+            sk = build_bloom_sharded(df, args.col, size2=args.size2,
+                                     nb_hash=args.nb_hash,
+                                     n_shards=args.n_shards)
             metrics = {"mode": "sharded", "n_shards": args.n_shards}
         elif args.checkpoint_dir:
             sk, metrics = build_with_checkpoint(
