@@ -130,6 +130,50 @@ def fp_coefficients(window: int) -> list[int]:
     return pw[::-1]
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        window: int = 16, w: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting"): Karp–Rabin
+    hash of every ``window``-byte substring, then keep the MINIMUM hash of
+    every ``w``-consecutive-hash window (distinct per doc). Guarantee: any
+    shared substring of length >= window + w - 1 yields a shared
+    fingerprint, and the density is ~2/(w+1) — the local, position-robust
+    near-dup primitive (``rolling_fingerprints`` keeps the k globally
+    smallest instead; winnowing spreads coverage across the whole doc).
+
+    Output: (doc_id, fingerprint) distinct scalar rows; the identical
+    polynomial + window-min is reproducible in SQL (see the catalog oracle).
+    Docs shorter than window + w - 1 bytes emit no rows."""
+
+    def _win(batches):
+        coeffs = np.array(fp_coefficients(window), dtype=np.int64)
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            out_id, out_fp = [], []
+            for did, t in zip(ids, texts):
+                raw = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                if raw.size < window + w - 1:
+                    continue
+                hw = np.lib.stride_tricks.sliding_window_view(raw, window)
+                acc = (hw.astype(np.int64) @ coeffs) % _FP_MOD
+                mins = np.lib.stride_tricks.sliding_window_view(acc, w).min(axis=1)
+                uniq = np.unique(mins)
+                out_id.append(np.full(uniq.size, did, dtype=np.int64))
+                out_fp.append(uniq)
+            if out_id:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_id)),
+                     pa.array(np.concatenate(out_fp))],
+                    names=["doc_id", "fingerprint"],
+                )
+
+    return df.select("doc_id", text_col).mapInArrow(
+        _win, "doc_id long, fingerprint long"
+    )
+
+
 def rolling_fingerprints(df: DataFrame, text_col: str = "text",
                          window: int = 16, keep: int = 8) -> DataFrame:
     """Karp–Rabin rolling-hash document fingerprints (winnowing-lite): hash

@@ -97,6 +97,60 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min starts a new session): per user, the
+    session count and the largest session's event count — the standard
+    event-analytics shape, pure window functions, exactly SQL-checkable.
+    The window partitions by user_id, so it parallelizes per user (no
+    global sort)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_sess = (
+        ev.withColumn("new_sess",
+                      F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_sess = with_sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"))
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+_ORACLE_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered
+),
+per_sess AS (
+  SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM per_sess GROUP BY user_id
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus sample: 50 docs drawn without replacement with
     inclusion probability increasing in word count (A-ES exponential race)."""
@@ -117,6 +171,9 @@ SELECT doc_id, source FROM (
 
 
 EVENTS_CATALOG: dict[str, QuerySpec] = {
+    "user_sessions": QuerySpec(
+        q_user_sessions, _ORACLE_SESSIONS,
+        "gap-based sessionization: per-user session count + largest session"),
     "weighted_sample": QuerySpec(
         q_weighted_sample, _ORACLE_WEIGHTED,
         "deterministic weight-proportional sample (Efraimidis-Spirakis)"),

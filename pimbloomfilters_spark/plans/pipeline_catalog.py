@@ -127,6 +127,41 @@ SELECT doc_id, fp_rank, fingerprint FROM ranked WHERE fp_rank <= {_FP_KEEP}
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# winnowing oracle: same Karp-Rabin polynomial as the rolling-fingerprint
+# oracle, then the min over every 8-consecutive-hash window, distinct per doc
+_WIN_W = 8
+_ORACLE_WINNOW = f"""
+WITH pos AS (
+  SELECT d.doc_id, d.text, g.pos
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(
+                1, greatest(length(d.text) - {_FP_W - 1}, 0))) AS pos) g
+),
+hashes AS (
+  SELECT doc_id, pos,
+         list_sum(list_transform(generate_series(0, {_FP_W - 1}),
+             i -> CAST(ascii(substr(text, pos + i, 1)) AS BIGINT)
+                  * {_FP_COEFFS}[i + 1])) % {text._FP_MOD} AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n_h
+  FROM pos
+),
+winmins AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+             AS fingerprint,
+         pos, n_h
+  FROM hashes
+)
+SELECT DISTINCT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint
+FROM winmins WHERE pos <= n_h - {_WIN_W - 1}
+"""
+
+
 # ----------------------------------------------------------------- dedup
 def _docs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 500-doc slice for the PAIRWISE gate queries. The
@@ -356,6 +391,9 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "doc_rolling_fingerprints": QuerySpec(
         q_rolling_fingerprints, _ORACLE_ROLLING_FP,
         "Karp-Rabin rolling-hash winnowing signature, exact vs SQL polynomial"),
+    "doc_winnow_fingerprints": QuerySpec(
+        q_winnow_fingerprints, _ORACLE_WINNOW,
+        "proper winnowing (window-min) fingerprints, exact vs SQL window-min"),
     "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT,
                              "exact dedup: kept representative per content group"),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, _JACCARD_CTE,

@@ -294,3 +294,24 @@ def test_weighted_sample_biases_toward_weight(spark):
     # determinism
     again = weighted_sample(df, 100, "id", "w").collect()
     assert [r["id"] for r in got] == [r["id"] for r in again]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing contract (Schleimer et al. 2003): any shared substring of
+    length >= window + w - 1 (16 + 8 - 1 = 23 here) produces a shared
+    fingerprint; disjoint alphabets share nothing."""
+    shared = "this exact shared run of text is long enough!"  # 46 chars
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared + " tail a"),
+         (2, "two " + shared + " other ending"),
+         (3, "ZZZZYYYYXXXXWWWWVVVVUUUUTTTTSSSSRRRRQQQQ")],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set] = {}
+    for r in text.winnow_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2], "shared >=23-char substring must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    # density sanity: ~2/(w+1) of positions, never more than n_hashes
+    n1 = len(df.filter("doc_id = 1").first()["text"]) - 15
+    assert 0 < len(fps[1]) <= n1
