@@ -324,6 +324,68 @@ _ORACLE_ANN = ("SELECT TRUE AS recall_ge_floor, "
                "CAST(10 AS BIGINT) AS n_queries")
 
 
+# ------------------------------------------------- end-to-end pipeline
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE query — quality filter ->
+    exact dedup -> MinHash-LSH near-dup removal -> quality-weighted sample —
+    each stage one of the gated operators, composed. Near-dup removal rule
+    (deterministic, non-iterative): drop every doc appearing as the LARGER
+    id of a verified >= 0.7 pair. The oracle reproduces the whole chain in
+    SQL (near-dup stage valid because LSH recall is 1 at this banding)."""
+    from ..operators.sampling import weighted_sample
+
+    docs = _docs_capped(spark, sf_dir).withColumn(
+        "n_words", F.size(F.split(F.col("text"), " "))
+    ).filter(F.col("n_words") >= 40)
+    kept = dedup.dedup_exact(docs).select("doc_id").join(docs, "doc_id")
+    drop = (
+        dedup.minhash_near_dup_pairs(kept, threshold=0.7)
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    surv = kept.join(drop, "doc_id", "left_anti")
+    return weighted_sample(surv, 30, "doc_id", F.col("n_words")).select(
+        "doc_id", "source"
+    )
+
+
+_ORACLE_PIPELINE = """
+WITH q AS (
+  SELECT *, len(string_split(text, ' ')) AS n_words
+  FROM documents WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 40
+),
+kept AS (
+  SELECT q.* FROM q
+  JOIN (SELECT text, min(doc_id) AS doc_id FROM q GROUP BY text) k
+  USING (text, doc_id)
+),
+grams AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, g.pos, 3) AS gram
+  FROM kept d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 2, 0))) AS pos) g
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT p.doc_b FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.7
+),
+surv AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM neardup))
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+            / 4503599627370496.0) / n_words AS pri
+  FROM surv
+) ORDER BY pri DESC, doc_id ASC LIMIT 30
+"""
+
+
 # ------------------------------------------------------------ multimodal
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item decode-consistency booleans over the deterministic synthetic
@@ -417,4 +479,7 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "multimodal_ppm_decode": QuerySpec(
         q_multimodal_ppm_decode, _ORACLE_PPM,
         "REAL binary-netpbm (P6) decode: header geometry + payload + stats"),
+    "pipeline_end_to_end": QuerySpec(
+        q_pipeline_end_to_end, _ORACLE_PIPELINE,
+        "quality filter -> exact dedup -> near-dup removal -> weighted sample"),
 }
