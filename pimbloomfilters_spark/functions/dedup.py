@@ -212,8 +212,27 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     |intersection| are unchanged (64-bit collisions across a doc pair's few
     hundred grams: ~1e-13), and long-array intersection is several times
     faster than 3-char-string intersection."""
-    sigs = minhash_signatures(df, text_col, n, num_hashes)
+    sigs = minhash_signatures(df, text_col, n, num_hashes).cache()
     cands = minhash_lsh_candidates(sigs, bands)
+    # signature prefilter: estimated jaccard = fraction of agreeing minhash
+    # slots; drop candidates estimated far below threshold before the exact
+    # verify. Cut at t - 0.2: a TRUE pair (j >= 0.7) estimates below 0.5
+    # w.p. P[Bin(64, .7) < 32] ~ 2e-4 — and on a degenerate high-similarity
+    # corpus (where banding passes ~all pairs) this removes almost the whole
+    # verify join. Exactness is re-checked by the oracle gate at every sf.
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                        lambda x: x))
+        / F.size("sig_a")
+    )
+    # no broadcast hint: sigs scale with the corpus; AQE broadcasts when small
+    cands = (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(est >= threshold - 0.2)
+        .select("doc_a", "doc_b")
+    )
     gram_sets = (
         char_ngrams(df, text_col, n)
         .select("doc_id", F.xxhash64("gram").alias("g"))
