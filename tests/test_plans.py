@@ -146,3 +146,15 @@ def test_runtime_filter_join_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the probe UDF (the prefilter) must appear below the join in the tree
     assert plan.index("BroadcastHashJoin") < plan.rindex("ArrowEvalPython")
+
+
+def test_blocked_pairs_plan_no_collect(spark, sf_dir):
+    """cosine_pairs_blocked is fully distributed: cogroup GEMM with exactly
+    one hash exchange per side, no driver materialization anywhere."""
+    from pimbloomfilters_spark.functions.similarity import cosine_pairs_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = cosine_pairs_blocked(emb, threshold=0.5, n_blocks=4)
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # one per cogroup side

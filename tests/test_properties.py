@@ -71,3 +71,55 @@ def test_hll_insert_order_irrelevant(keys):
     a.insert_bulk(arr)
     b.insert_bulk(arr[::-1].copy())
     assert a.payload() == b.payload()
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(keys=keysets)
+def test_unblocked_bloom_never_false_negative(keys):
+    bf = BlockedBloomFilter(size2=16, nb_hash=8, blocked=False)
+    arr = np.array(keys, dtype=np.int64)
+    bf.insert_bulk(arr)
+    assert bf.contains_bulk(arr).all()
+    assert sketch_from_bytes(bf.to_bytes()).contains_bulk(arr).all()
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(keys=keysets, splits=st.integers(min_value=1, max_value=5))
+def test_theta_split_merge_equals_oneshot(keys, splits):
+    """Theta union-merge == single-stream build for ARBITRARY key sets and
+    ARBITRARY partitionings — byte-identical (the KMV property)."""
+    from pimbloomfilters_spark.sketches import ThetaSketch
+
+    arr = np.array(keys, dtype=np.int64)
+    single = ThetaSketch(k=64)
+    single.insert_bulk(arr)
+    merged = ThetaSketch(k=64)
+    for part in np.array_split(arr, splits):
+        p = ThetaSketch(k=64)
+        p.insert_bulk(part)
+        merged.merge(p)
+    assert merged.payload() == single.payload()
+    # exact mode correctness for small distinct sets
+    n_distinct = len(set(keys))
+    if n_distinct < 64:
+        assert single.estimate() == float(n_distinct)
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(px=st.lists(st.integers(min_value=0, max_value=255),
+                   min_size=6, max_size=96))
+def test_netpbm_roundtrip_property(px):
+    """encode->decode is the identity for arbitrary pixel data in both P6
+    (rgb) and P5 (gray) at arbitrary (h, w) factorizations."""
+    from pimbloomfilters_spark.functions import multimodal
+
+    n = len(px) - len(px) % 3
+    if n >= 3:
+        rgb = np.array(px[:n], dtype=np.uint8).reshape(-1, 1, 3)
+        assert (multimodal.decode_netpbm(multimodal.encode_netpbm(rgb)) == rgb).all()
+    gray = np.array(px, dtype=np.uint8).reshape(1, -1)
+    out = multimodal.decode_netpbm(multimodal.encode_netpbm(gray))
+    assert (out[:, :, 0] == gray).all()
