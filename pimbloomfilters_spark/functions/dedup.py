@@ -76,9 +76,13 @@ def _batch_distinct_grams(texts: list, n: int):
 # --------------------------------------------------------------- exact
 def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, group_size): one kept representative (min doc_id) per exact
-    content group."""
+    content group. Groups by md5(content), NOT the content itself, so the
+    shuffle moves 16-byte keys instead of whole documents — at corpus scale
+    that is the difference between shuffling hashes and shuffling the corpus
+    (md5 collision odds ~n^2/2^128; the oracle gate groups by raw text and
+    stays hash-equal, which would catch a collision)."""
     return (
-        df.groupBy(F.col(text_col))
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("group_size"))
         .select("doc_id", "group_size")
     )

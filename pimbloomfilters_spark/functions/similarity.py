@@ -216,6 +216,125 @@ def lsh_bucket_ids(df: DataFrame, vec_col: str = "embedding",
     )
 
 
+def ivf_centroids(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id", n_centroids: int = 16,
+                  iters: int = 5) -> np.ndarray:
+    """(n_centroids, dim) float64 IVF coarse quantizer via distributed Lloyd
+    iterations on NORMALIZED vectors (spherical k-means — right metric for
+    cosine). Deterministic-by-construction init: the vectors with the
+    n_centroids smallest ids. Each iteration is one assignment pass
+    (mapInArrow, centroid matrix rides in the closure — KB-size) + one
+    per-cluster mean (applyInPandas over at most n_centroids groups). Empty
+    clusters keep their previous centroid."""
+    init_rows = (df.select(id_col, vec_col).orderBy(id_col)
+                 .limit(n_centroids).collect())
+    cents = _normalize(np.array([r[vec_col] for r in init_rows],
+                                dtype=np.float64))
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        c = cents  # rebind for closure pickling
+
+        def _assign(batches):
+            for b in batches:
+                m = _normalize(_batch_matrix(b.column(1), dim))
+                cl = np.argmax(m @ c.T, axis=1)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cl.astype(np.int32)),
+                     b.column(1).combine_chunks()
+                     if isinstance(b.column(1), pa.ChunkedArray)
+                     else b.column(1)],
+                    names=["cluster", "vec"],
+                )
+
+        assigned = df.select(id_col, vec_col).mapInArrow(
+            _assign, f"cluster int, vec {dict(df.dtypes)[vec_col]}"
+        )
+
+        def _mean(pdf):
+            import pandas as pd
+
+            m = _normalize(np.stack(pdf["vec"].to_numpy()).astype(np.float64))
+            return pd.DataFrame({
+                "cluster": [int(pdf["cluster"].iloc[0])],
+                "centroid": [m.mean(axis=0).tolist()],
+            })
+
+        rows = (assigned.groupBy("cluster").applyInPandas(
+            _mean, "cluster int, centroid array<double>").collect())
+        new = cents.copy()
+        for r in rows:
+            new[r["cluster"]] = r["centroid"]
+        cents = _normalize(new)
+    return cents
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_centroids: int = 16, nprobe: int = 3,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate top-k: the second classic ANN family next to LSH —
+    a coarse quantizer (spherical k-means centroids) buckets the corpus;
+    each query searches only its ``nprobe`` nearest centroids' buckets
+    (candidates ~ nprobe/n_centroids of the corpus), exact cosine ranking
+    within. Returns (query_id, neighbor_id, rank). Pass ``centroids`` to
+    reuse a trained quantizer (the production pattern: train once, probe
+    many)."""
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, id_col, n_centroids)
+    c = centroids
+    dim = c.shape[1]
+
+    def _bucket(batches):
+        for b in batches:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            m = _normalize(_batch_matrix(b.column(1), dim))
+            cl = np.argmax(m @ c.T, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(cl.astype(np.int32))],
+                names=["_id", "cluster"],
+            )
+
+    def _probe(batches):
+        for b in batches:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            m = _normalize(_batch_matrix(b.column(1), dim))
+            top = np.argsort(-(m @ c.T), axis=1)[:, :nprobe]  # (q, nprobe)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(ids, nprobe)),
+                 pa.array(top.ravel().astype(np.int32))],
+                names=["query_id", "cluster"],
+            )
+
+    data_b = df.select(id_col, vec_col).mapInArrow(
+        _bucket, "_id long, cluster int").withColumnRenamed("_id", id_col)
+    with_bucket = df.join(data_b, id_col)
+    q_b = queries.select(id_col, vec_col).mapInArrow(
+        _probe, "query_id long, cluster int")
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qvec")).join(q_b, "query_id")
+    joined = with_bucket.join(qv, "cluster").filter(
+        F.col(id_col) != F.col("query_id")
+    ).dropDuplicates([id_col, "query_id"])
+    sim = F.try_divide(
+        F.aggregate(
+            F.zip_with(vec_col, "qvec", lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+        * F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        joined.withColumn("cos", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
+    )
+
+
 def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  bits: int = 6, seed: int = 5, probe_radius: int = 1) -> DataFrame:

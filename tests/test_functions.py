@@ -315,3 +315,22 @@ def test_winnow_shared_substring_guarantee(spark):
     # density sanity: ~2/(w+1) of positions, never more than n_hashes
     n1 = len(df.filter("doc_id = 1").first()["text"]) - 15
     assert 0 < len(fps[1]) <= n1
+
+
+def test_ivf_recall_on_planted_neighbors(spark, emb):
+    """IVF coarse quantizer + nprobe search retrieves planted near-dup
+    sources (same protocol as the LSH ANN test)."""
+    rows = emb.select("vec_id", "embedding").limit(20).collect()
+    rng = np.random.default_rng(9)
+    planted = [
+        (int(r["vec_id"]) + 100_000,
+         (np.array(r["embedding"], dtype=np.float64)
+          + rng.normal(0, 0.03, 64) * np.abs(
+              np.array(r["embedding"])).mean()).astype(float).tolist())
+        for r in rows
+    ]
+    queries = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    got = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=3).collect()
+    found = {r["query_id"] for r in got
+             if r["neighbor_id"] == r["query_id"] - 100_000}
+    assert len(found) >= 18, f"planted-neighbor recall {len(found)}/20"
