@@ -187,3 +187,29 @@ def test_unblocked_beats_blocked_at_low_fill():
     fp_basic = basic.contains_bulk(neg).sum()
     assert fp_basic < fp_blocked, (fp_basic, fp_blocked)
     assert basic.theoretical_fpr_bound(n) < blocked.theoretical_fpr_bound(n)
+
+
+def test_factory_variant_presets():
+    """The reference factory's enum, semantically (bloom_filter_factory.cpp:
+    7-13): BASIC = unblocked, CACHE = 2^6-bit blocks, PIM = 4096-bit blocks.
+    All satisfy the no-FN contract; presets are overridable."""
+    from pimbloomfilters_spark.sketches import make_sketch
+
+    items = _items(5000)
+    basic = make_sketch("bloom", variant="basic", size2=20, nb_hash=4)
+    cache = make_sketch("bloom", variant="cache", size2=20, nb_hash=4)
+    pim = make_sketch("bloom", variant="pim", size2=20, nb_hash=4)
+    assert basic.n_blocks == 1
+    assert cache.block_bits == 64
+    assert pim.block_bits == 4096
+    for bf in (basic, cache, pim):
+        bf.insert_bulk(items)
+        assert bf.contains_bulk(items).all()
+    # cache pays the highest FPR (tiny blocks), basic the lowest
+    neg = _negatives(100_000)
+    assert basic.contains_bulk(neg).sum() <= pim.contains_bulk(neg).sum() \
+        <= cache.contains_bulk(neg).sum()
+    with pytest.raises(ValueError):
+        make_sketch("hll", variant="basic")
+    with pytest.raises(ValueError):
+        make_sketch("bloom", variant="nope")
