@@ -118,11 +118,18 @@ def build_bloom_shards(
 
     if is_array:
         # route by array element: explode JVM-side, then shard on the element
-        elem = df.select(F.explode(F.col(col)).alias("_v"))
+        # (cast to long first — JVM xxhash64 of int32 hashes 4 bytes and would
+        # mis-route vs the numpy 8-byte hash; build correctness is unaffected
+        # since shards are recomputed from numpy positions, but mis-routing
+        # costs locality: one partition emitting many shard bitmaps)
+        elem = df.select(F.explode(F.col(col)).alias("_e")).select(
+            F.col("_e").cast("long").alias("_v"))
         keyed = elem.withColumn("_shard", _shard_expr("_v", shard_bits))
         src, vcol = keyed, "_v"
     else:
-        src, vcol = df.withColumn("_shard", _shard_expr(col, shard_bits)), col
+        src = df.select(F.col(col).cast("long").alias(col)).withColumn(
+            "_shard", _shard_expr(col, shard_bits))
+        vcol = col
     parts = src.repartition(n_shards, "_shard")
     return parts.select(F.col(vcol).alias(col)).mapInArrow(_build, schema=SHARD_SCHEMA)
 
@@ -160,26 +167,36 @@ def probe_bloom_distributed(
     block_bits: int = BLOCK_BITS,
     n_shards: int = 64,
     out_col: str = "member",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Probe WITHOUT materializing the filter anywhere: cogroup probe keys
     with the one shard bitmap that covers them. The filter can be arbitrarily
     large — each task touches m/n_shards bits. Missing shard bitmap (no
-    inserts landed there) => definitely-absent => member=false."""
+    inserts landed there) => definitely-absent => member=false.
+    ``passthrough`` columns of ``probes`` ride along unchanged (row-aligned),
+    e.g. (doc_id, pos) when probing exploded token arrays."""
     _check_routable_seed(seed)
     m_bits = 1 << size2
     shard_bits = int(math.log2(n_shards))
     shard_size_bits = m_bits // n_shards
+    passthrough = tuple(passthrough)
 
-    keyed = probes.select(F.col(key_col)).withColumn(
-        "_shard", _shard_expr(key_col, shard_bits).cast("int")
-    )
+    # cast to long BEFORE hashing: JVM xxhash64 of an INT column hashes 4
+    # bytes, numpy's xxh64_u64 hashes the 8-byte value — an int32 key column
+    # would otherwise route to the wrong shard
+    keyed = probes.select(
+        F.col(key_col).cast("long").alias(key_col), *passthrough
+    ).withColumn("_shard", _shard_expr(key_col, shard_bits).cast("int"))
 
     def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left[[key_col, *passthrough]].copy()
         if left.empty:
-            return pd.DataFrame({key_col: [], out_col: []})
+            out[out_col] = np.zeros(0, bool)
+            return out
         vals = left[key_col].to_numpy(dtype=np.int64)
         if right.empty:
-            return pd.DataFrame({key_col: vals, out_col: np.zeros(len(vals), bool)})
+            out[out_col] = np.zeros(len(vals), bool)
+            return out
         words = np.frombuffer(right["sketch"].iloc[0], dtype=np.uint64)
         if len(right) > 1:  # defensive: OR duplicate shard rows
             words = words.copy()
@@ -191,12 +208,50 @@ def probe_bloom_distributed(
         w = (pos >> np.uint64(6)).astype(np.int64)
         bits = np.uint64(1) << (pos & np.uint64(63))
         hit = (words[w] & bits) != 0
-        member = hit.reshape(-1, nb_hash).all(axis=1)
-        return pd.DataFrame({key_col: vals, out_col: member})
+        out[out_col] = hit.reshape(-1, nb_hash).all(axis=1)
+        return out
 
-    out_schema = f"{key_col} long, {out_col} boolean"
+    dtypes = dict(probes.dtypes)
+    extra = "".join(f", {c} {dtypes[c]}" for c in passthrough)
+    out_schema = f"{key_col} long{extra}, {out_col} boolean"
     return (
         keyed.groupBy("_shard")
         .cogroup(shards.groupBy("shard"))
         .applyInPandas(_probe, schema=out_schema)
+    )
+
+
+def probe_array_distributed(
+    df: DataFrame,
+    shards: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    size2: int,
+    nb_hash: int,
+    seed: int = 42,
+    block_bits: int = BLOCK_BITS,
+    n_shards: int = 64,
+    out_col: str = "member",
+) -> DataFrame:
+    """array<boolean> membership, ELEMENT-ALIGNED with the token array (the
+    reference's bulk-probe contract), against a sharded filter that is never
+    materialized on one node: posexplode -> cogroup probe (positions ride
+    through as passthrough columns) -> regroup per row ordered by position.
+    This is the array-column twin of ``probe_bloom_distributed`` — the shape
+    for probing token sequences against a multi-GB filter."""
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(tokens_col)).alias("_pos", "_tok"),
+    )
+    probed = probe_bloom_distributed(
+        ex, shards, "_tok", size2, nb_hash, seed, block_bits, n_shards,
+        out_col=out_col, passthrough=(id_col, "_pos"),
+    )
+    return (
+        probed.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", out_col))).alias("_s"))
+        .select(
+            id_col,
+            F.transform(F.col("_s"), lambda x: x[out_col]).alias(out_col),
+        )
     )

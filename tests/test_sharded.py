@@ -105,3 +105,31 @@ def test_fpr_block_variant_ordering(spark):
         assert fprs[bb] <= 3 * bf.theoretical_fpr_bound(n) + 1e-4, (bb, fprs[bb])
     # smaller blocks => heavier blocked penalty at equal m,k,n
     assert fprs[64] >= fprs[4096]
+
+
+def test_probe_array_distributed_equals_broadcast(spark, sf_dir):
+    """Element-aligned array probe against sharded bitmaps == the broadcast
+    array probe, row for row, element for element."""
+    from pimbloomfilters_spark.operators.probe import probe_array_column
+    from pimbloomfilters_spark.operators.sharded import (
+        assemble_bloom,
+        build_bloom_shards,
+        probe_array_distributed,
+    )
+    from pimbloomfilters_spark.sources.tables import token_table
+
+    tt = token_table(spark, sf_dir).limit(300).cache()
+    geom = dict(size2=22, nb_hash=8)
+    shards = build_bloom_shards(tt, "tokens", n_shards=16, **geom).cache()
+    bf = assemble_bloom(shards.collect(), n_shards=16, **geom)
+    dist = {
+        r["doc_id"]: r["member"]
+        for r in probe_array_distributed(
+            tt, shards, "doc_id", "tokens", n_shards=16, **geom).collect()
+    }
+    bc = {
+        r["doc_id"]: r["member"]
+        for r in probe_array_column(tt, bf, "tokens").collect()
+    }
+    assert dist == bc and len(dist) == 300
+    assert all(all(m) for m in dist.values()), "no false negatives"
