@@ -9,8 +9,9 @@ Five families, each the standard published technique re-expressed Spark-first:
                    candidates exact-verified — output equals exact pairs
                    above threshold whenever LSH recall is 1 (gated at sf0.01)
 - SimHash        : 64-bit sign-sum sketch, Hamming-band candidates
-- embedding cosine: near-dup pairs above a cosine threshold (brute force at
-                   small scale; see similarity.py for the LSH/ANN scale path)
+- embedding cosine: near-dup pairs above a cosine threshold — EXACT via the
+                   distributed block-pair GEMM (similarity.py), or bucketed
+                   multi-table LSH for the high-threshold regime
 
 Scale notes: the shingle join explodes |doc|x|grams| — at 100 TB you run
 MinHash banding FIRST (cost ~ O(corpus) + O(bucket^2) within tiny buckets)

@@ -5,18 +5,22 @@ operators extend the same mergeable-sketch algebra to unbounded input — the
 property that makes a sketch *streamable* is exactly the one that makes it
 partition-parallel: associative, commutative merge.
 
-Two shapes:
+Shapes:
 
-1. ``sketch_stream_query`` — foreachBatch: every micro-batch builds partial
-   sketches with the batch engine (same mapInArrow path) and merges them into
-   a driver-held running sketch. Works with ANY sink discipline and any
-   sketch kind; the running sketch is exactly-once per micro-batch under
-   Structured Streaming's replay because merge is idempotent for Bloom/HLL
-   (bitwise-OR / max) — CMS/KLL replays are at-least-once (documented).
+1. ``sketch_stream_query`` / ``dedup_stream_query`` — foreachBatch: every
+   micro-batch builds partials with the batch engine and merges them into a
+   running sketch, snapshotted durably per batch next to the checkpoint and
+   reloaded on start (driver restarts lossless; replayed batches already in
+   the snapshot are skipped — exactly-once for every sketch kind).
 
-2. ``windowed_distinct_stream`` — applyInPandasWithState: per event-time
-   window, an HLL is kept as GroupState bytes and re-emitted with the running
-   distinct estimate each batch; watermark-driven eviction closes windows.
+2. ``sharded_dedup_stream`` — the filter lives EXECUTOR-side as per-shard
+   GroupState in the state store (nothing re-ships per batch, restart-safe
+   transactionally with the offsets, memory scales out with n_shards).
+
+3. ``windowed_distinct_stream`` / ``windowed_heavy_hitters_stream`` —
+   applyInPandasWithState: per event-time window an HLL (distinct) or
+   Misra–Gries (heavy hitters) is GroupState; EventTimeTimeout evicts window
+   state once the watermark passes.
 """
 
 from __future__ import annotations
