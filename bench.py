@@ -285,8 +285,21 @@ def run_scaling() -> None:
               "M/s. Those are bare-metal library calls on in-RAM arrays; ours "
               "include the full distributed data plane (shuffle, Arrow transfer, "
               "task scheduling) and scale out by adding executors.", ""]
-    with open(os.path.join(_REPO, "BENCH.md"), "w") as f:
+    # preserve hand-maintained sections (noise analysis, scale smoke) that
+    # live after the generated tables
+    bench_path = os.path.join(_REPO, "BENCH.md")
+    preserved = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        for marker in ("**A second independent run", "**Noise note**",
+                       "## Scale smoke"):
+            if marker in old:
+                preserved = old[old.index(marker):]
+                break
+    with open(bench_path, "w") as f:
         f.write("\n".join(lines))
+        if preserved:
+            f.write("\n" + preserved)
     print(json.dumps({"scaling_written": "BENCH.md",
                       "numpy_ceiling_Mkeys_s": ceiling,
                       "weak_scaling_efficiency": {k: round(v, 3) for k, v in effs.items()}}))
