@@ -123,3 +123,53 @@ def test_netpbm_roundtrip_property(px):
     gray = np.array(px, dtype=np.uint8).reshape(1, -1)
     out = multimodal.decode_netpbm(multimodal.encode_netpbm(gray))
     assert (out[:, :, 0] == gray).all()
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(
+    st.text(alphabet="ab é世", min_size=0, max_size=30),
+    min_size=1, max_size=12))
+def test_batch_distinct_grams_matches_reference(texts):
+    """The flat-array gram extractor (boundary masking, Horner packing,
+    lexsort dedup) must agree with a trivially-correct per-doc Python
+    reference for arbitrary (including unicode and empty) texts."""
+    from pimbloomfilters_spark.functions.dedup import _batch_distinct_grams
+
+    n = 3
+    packed, starts, doc_idx = _batch_distinct_grams(texts, n)
+    # reference: per-doc set of base-131 packed byte windows
+    expect = {}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8", "ignore")
+        s = set()
+        for p in range(len(raw) - n + 1):
+            v = 0
+            for b in raw[p:p + n]:
+                v = (v * 131 + b) % (1 << 64)
+            s.add(v)
+        if s:
+            expect[i] = s
+    got = {}
+    bounds = list(starts) + [len(packed)]
+    for j, d in enumerate(doc_idx):
+        got[int(d)] = set(int(x) for x in packed[bounds[j]:bounds[j + 1]])
+    assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(cut=st.integers(min_value=0, max_value=20))
+def test_netpbm_truncated_payload_rejected(cut):
+    """A payload shorter than the header promises must raise, never return
+    garbage pixels."""
+    from pimbloomfilters_spark.functions import multimodal
+
+    rgb = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    blob = multimodal.encode_netpbm(rgb)
+    if cut == 0:
+        assert (multimodal.decode_netpbm(blob) == rgb).all()
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            multimodal.decode_netpbm(blob[:-cut])
