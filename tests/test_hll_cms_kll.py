@@ -345,3 +345,51 @@ def test_theta_distributed_build(spark, sf_dir):
     assert sk.payload() == solo.payload()
     exact = orders.select("o_custkey").distinct().count()
     assert abs(sk.estimate() - exact) <= 5 * max(sk.relative_error(), 1e-9) * exact + 1
+
+
+def test_sketches_vs_spark_native_oracles(spark, sf_dir):
+    """The docstring contract: Spark's own implementations are ORACLES, not
+    the implementation. HLL vs approx_count_distinct, KLL vs
+    percentile_approx, Bloom vs df.stat.bloomFilter — each pair must agree
+    within the looser of the two published bounds."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from pimbloomfilters_spark.operators import build_sketch
+    from pimbloomfilters_spark.sketches import make_sketch
+    from pimbloomfilters_spark.sources.tables import token_table
+
+    tt = token_table(spark, sf_dir).cache()
+
+    # HLL vs Spark HLL++ on token ids
+    flat = tt.select(F.explode("tokens").alias("t"))
+    exact = flat.select("t").distinct().count()
+    ours, _ = build_sketch(flat, "t", functools.partial(make_sketch, "hll", p=14))
+    native = flat.agg(F.approx_count_distinct("t", rsd=0.01).alias("d")).first()["d"]
+    assert abs(ours.estimate() - exact) <= 5 * ours.relative_error() * exact + 1
+    assert abs(ours.estimate() - native) <= (5 * ours.relative_error() + 0.05) * exact + 1
+
+    # KLL vs percentile_approx on n_tok
+    kll, _ = build_sketch(tt, "n_tok", functools.partial(make_sketch, "kll", k=200))
+    for q in (0.25, 0.5, 0.75):
+        native_q = tt.agg(F.percentile_approx("n_tok", q, 10_000).alias("p")).first()["p"]
+        n = kll.n
+        band = kll.rank_error() * n + 10_000 // 100  # both sketches' slack
+        lo = tt.filter(F.col("n_tok") < kll.quantile(q)).count()
+        hi = tt.filter(F.col("n_tok") <= native_q).count()
+        assert abs(lo - q * n) <= band + n * 0.01, (q, lo, n)
+        assert abs(hi - q * n) <= band + n * 0.01, (q, hi, n)
+
+    # Bloom vs Spark's BloomFilterImpl (JVM-side; PySpark has no stat
+    # wrapper): agreement on every inserted key — both no-FN
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_keys = orders.select("o_custkey").distinct().count()
+    ours_bf, _ = build_sketch(
+        orders, "o_custkey", functools.partial(make_sketch, "bloom", size2=22, nb_hash=8))
+    native_bf = orders._jdf.stat().bloomFilter("o_custkey", n_keys, 0.01)
+    keys = [r[0] for r in orders.select("o_custkey").distinct().collect()]
+    import numpy as np
+
+    assert ours_bf.contains_bulk(np.array(keys, dtype=np.int64)).all()
+    assert all(native_bf.mightContainLong(int(k)) for k in keys[:500])
