@@ -208,3 +208,40 @@ def test_windowed_heavy_hitters_stream(spark, tmp_path_factory):
             est, n = items[hot]
             assert est <= 600
             assert 600 - est <= n / (64 + 1) + 1e-9
+
+
+def test_stream_probe_against_static_filter(spark, tmp_path_factory):
+    """Ingestion-time membership filtering: a STREAM probed against a
+    prebuilt static Bloom filter with the same probe_key_column used in
+    batch — the sketch ships once at plan time (addFile), NOT per batch.
+    Rows matching an allowlist pass; unseen keys are dropped exactly
+    (verified zero FP at this geometry for this key range)."""
+    from pimbloomfilters_spark.operators import build_sketch, probe_key_column
+    from pimbloomfilters_spark.sketches import make_sketch
+
+    allow = spark.range(0, 5000)  # allowlist: keys 0..4999
+    bf, _ = build_sketch(allow, "id",
+                         functools.partial(make_sketch, "bloom", size2=24, nb_hash=8))
+
+    data_dir = str(tmp_path_factory.mktemp("sp_in"))
+    out_dir = str(tmp_path_factory.mktemp("sp_out")) + "/result"
+    ckpt = str(tmp_path_factory.mktemp("sp_ckpt"))
+    for i in range(3):  # interleave allowed + disallowed key ranges
+        spark.range(i * 2000, i * 2000 + 1000).union(
+            spark.range(100_000 + i * 1000, 100_000 + (i + 1) * 1000)
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1).parquet(data_dir)
+    )
+    q = (
+        probe_key_column(stream, bf, "id").filter(F.col("member")).drop("member")
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"] for r in spark.read.parquet(out_dir).collect()}
+    expect = set(range(0, 1000)) | set(range(2000, 3000)) | set(range(4000, 5000))
+    assert got == expect
