@@ -78,7 +78,28 @@ def main() -> int:
     p.add_argument("--sketch", required=True)
     p.add_argument("--out", required=True)
 
+    i = sub.add_parser("inspect", help="print a sketch file's kind, config "
+                                       "and headline statistic")
+    i.add_argument("--sketch", required=True)
+
     args = ap.parse_args()
+
+    if args.cmd == "inspect":
+        from pimbloomfilters_spark.sketches import sketch_from_bytes
+
+        with open(args.sketch, "rb") as f:
+            sk = sketch_from_bytes(f.read())
+        stat: dict = {}
+        if hasattr(sk, "estimate"):
+            stat["estimate"] = round(sk.estimate(), 1)
+        if hasattr(sk, "get_weight"):
+            stat["weight"] = sk.get_weight()
+        if hasattr(sk, "total"):
+            stat["total"] = sk.total
+        if hasattr(sk, "n"):
+            stat["n"] = sk.n
+        print(json.dumps({"kind": sk.kind, "config": sk.config(), **stat}))
+        return 0
 
     from pyspark.sql import SparkSession
 
@@ -139,6 +160,9 @@ def main() -> int:
     else:
         with open(args.sketch, "rb") as f:
             sk = sketch_from_bytes(f.read())
+        if not hasattr(sk, "contains_bulk"):
+            raise SystemExit(f"sketch kind {sk.kind!r} has no membership "
+                             "probe; 'probe' needs a bloom filter")
         out = probe_key_column(df, sk, args.col)
         out.write.mode("overwrite").parquet(args.out)
         n = out.filter("member").count()
