@@ -271,7 +271,7 @@ def ivf_centroids(df: DataFrame, vec_col: str = "embedding",
 
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             n_centroids: int = 16, nprobe: int = 3,
+             n_centroids: int = 16, nprobe: int = 3, iters: int = 5,
              centroids: np.ndarray | None = None) -> DataFrame:
     """IVF approximate top-k: the second classic ANN family next to LSH —
     a coarse quantizer (spherical k-means centroids) buckets the corpus;
@@ -281,7 +281,7 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     reuse a trained quantizer (the production pattern: train once, probe
     many)."""
     if centroids is None:
-        centroids = ivf_centroids(df, vec_col, id_col, n_centroids)
+        centroids = ivf_centroids(df, vec_col, id_col, n_centroids, iters)
     c = centroids
     dim = c.shape[1]
 
