@@ -323,7 +323,49 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     return pairs.select("doc_a", "doc_b", "hamming")
 
 
-# ------------------------------------------------- embedding near-dup
+# ------------------------------------------------- near-dup clustering
+def near_dup_clusters(ids: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id", max_iters: int = 50) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup pairs —
+    the transitive closure step real dedup needs (pairs (a,b),(b,c) are ONE
+    duplicate group; keep one representative per component, not per pair).
+
+    Iterative min-label propagation: every doc starts labeled with itself;
+    each round every doc takes the minimum label among itself and its
+    neighbors; fixpoint in O(component diameter) rounds (near-dup components
+    are shallow). Each round is two shuffles (join + groupBy-min) and the
+    loop checks a single changed-count on the driver — the standard
+    large-graph CC shape (label propagation, not driver-side union-find).
+    cluster_id = the component's minimum doc id."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst")))
+        .distinct().cache()
+    )
+    labels = ids.select(F.col(id_col).alias("node"),
+                        F.col(id_col).alias("label")).cache()
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("node").agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("cluster_id"))
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id", threshold: float = 0.95,
                              n_blocks: int = 8) -> DataFrame:

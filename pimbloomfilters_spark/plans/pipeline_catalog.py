@@ -348,7 +348,51 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------- end-to-end pipeline
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup: connected components over the verified >= 0.7
+    near-dup pairs (pairs (a,b),(b,c) are ONE duplicate group). Iterative
+    min-label propagation in Spark; the oracle computes the same components
+    with a recursive CTE over the exact pair set (valid because LSH recall
+    is 1 at this banding). Singletons keep their own id as cluster_id."""
+    docs = _docs_capped(spark, sf_dir)
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.7)
+    return dedup.near_dup_clusters(docs.select("doc_id"), pairs)
+
+
+_ORACLE_CLUSTERS = """
+WITH capped AS (SELECT * FROM documents WHERE doc_id < 500),
+grams AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, g.pos, 3) AS gram
+  FROM capped d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 2, 0))) AS pos) g
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.7
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(node, reachable) AS (
+    SELECT doc_id, doc_id FROM capped
+    UNION
+    SELECT r.node, s.b FROM r JOIN sym s ON r.reachable = s.a
+  )
+  SELECT * FROM r
+)
+SELECT node AS doc_id, CAST(min(reachable) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
 def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data pipeline as ONE query — quality filter ->
     exact dedup -> MinHash-LSH near-dup removal -> quality-weighted sample —
@@ -509,4 +553,7 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "pipeline_end_to_end": QuerySpec(
         q_pipeline_end_to_end, _ORACLE_PIPELINE,
         "quality filter -> exact dedup -> near-dup removal -> weighted sample"),
+    "near_dup_clusters": QuerySpec(
+        q_near_dup_clusters, _ORACLE_CLUSTERS,
+        "connected components over near-dup pairs vs recursive-CTE closure"),
 }

@@ -334,3 +334,14 @@ def test_ivf_recall_on_planted_neighbors(spark, emb):
     found = {r["query_id"] for r in got
              if r["neighbor_id"] == r["query_id"] - 100_000}
     assert len(found) >= 18, f"planted-neighbor recall {len(found)}/20"
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Pairs (1,2) and (2,3) are ONE component labeled by its min id;
+    isolated docs stay singletons; a long chain converges too."""
+    ids = spark.range(1, 10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 8)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.near_dup_clusters(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5, 9: 9}
