@@ -37,7 +37,10 @@ def _batch_distinct_grams(texts: list, n: int):
     - concatenate all texts into one flat byte array;
     - take every length-n sliding window, mask out windows that cross a
       document boundary;
-    - pack each window's bytes into a uint64 (Horner, base 131 — n <= 8);
+    - pack each window's bytes into a uint64 (Horner, base 256: an exact
+      BIJECTION gram-bytes <-> uint64 for n <= 8, so distinct packed grams ==
+      distinct gram strings and set intersections over packed grams are the
+      string-gram intersections, exactly — the verify stage counts on this);
     - per-doc distinct via one lexsort over (doc, packed).
 
     Returns (packed, starts, doc_idx): packed distinct grams grouped by doc,
@@ -45,6 +48,8 @@ def _batch_distinct_grams(texts: list, n: int):
     ``np.ufunc.reduceat``), ``doc_idx`` the batch-local row index of each run.
     Docs shorter than n bytes simply have no run.
     """
+    if n > 8:
+        raise ValueError("char n-gram packing supports n <= 8 bytes")
     enc = [(t or "").encode("utf-8", "ignore") for t in texts]
     lens = np.array([len(e) for e in enc], dtype=np.int64)
     total = int(lens.sum())
@@ -54,10 +59,9 @@ def _batch_distinct_grams(texts: list, n: int):
     flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
     ends = np.cumsum(lens)
     w = np.lib.stride_tricks.sliding_window_view(flat, n)
-    with np.errstate(over="ignore"):
-        packed = np.zeros(w.shape[0], dtype=np.uint64)
-        for i in range(n):  # n is tiny (3): n vectorized column ops
-            packed = packed * np.uint64(131) + w[:, i].astype(np.uint64)
+    packed = np.zeros(w.shape[0], dtype=np.uint64)
+    for i in range(n):  # n is tiny (3): n vectorized column ops
+        packed = (packed << np.uint64(8)) | w[:, i].astype(np.uint64)
     # doc of each window start; keep only windows fully inside one doc
     pos = np.arange(w.shape[0], dtype=np.int64)
     doc = np.repeat(np.arange(len(enc), dtype=np.int64), lens)[:w.shape[0]]
@@ -131,7 +135,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 
 # ------------------------------------------------------------- MinHash
 def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
-                       num_hashes: int = 64, seed: int = 7) -> DataFrame:
+                       num_hashes: int = 64, seed: int = 7,
+                       with_grams: bool = False) -> DataFrame:
     """(doc_id, sig array<long>): MinHash over distinct char n-grams.
 
     Fully batch-vectorized (no per-doc Python loop): distinct grams for the
@@ -140,7 +145,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
     the splitmix64 parallel-stream construction, one base xxh64 pass plus one
     cheap mix per seed — and the per-doc minimum of each stream is a single
     ``np.minimum.reduceat`` over the doc runs. Docs shorter than n get the
-    all-MAX signature (no grams -> empty set)."""
+    all-MAX signature (no grams -> empty set).
+
+    ``with_grams=True`` additionally emits each doc's distinct packed grams
+    as a sorted ``grams array<long>`` column — the SAME scan that computes
+    signatures, so a downstream exact-Jaccard verify needs NO second pass
+    over the corpus (packing is a bijection for n <= 8, so intersection /
+    union sizes over packed grams equal those over gram strings exactly)."""
 
     def _sig(batches):
         for b in batches:
@@ -161,13 +172,25 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
                                 dtype=np.int32)
             sig_col = pa.ListArray.from_arrays(
                 pa.array(offsets), pa.array(sig.ravel()))
-            yield pa.RecordBatch.from_arrays([ids, sig_col],
-                                             names=["doc_id", "sig"])
+            cols = [ids, sig_col]
+            names = ["doc_id", "sig"]
+            if with_grams:
+                # per-row gram counts -> list offsets (rows w/o grams: empty)
+                cnt = np.zeros(rows, dtype=np.int64)
+                if packed.size:
+                    cnt[doc_idx] = np.diff(np.r_[starts, packed.size])
+                goff = np.zeros(rows + 1, dtype=np.int32)
+                np.cumsum(cnt, out=goff[1:])
+                cols.append(pa.ListArray.from_arrays(
+                    pa.array(goff), pa.array(packed.view(np.int64))))
+                names.append("grams")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     id_type = dict(df.dtypes)["doc_id"]
-    return df.select("doc_id", text_col).mapInArrow(
-        _sig, f"doc_id {id_type}, sig array<long>"
-    )
+    schema = f"doc_id {id_type}, sig array<long>"
+    if with_grams:
+        schema += ", grams array<long>"
+    return df.select("doc_id", text_col).mapInArrow(_sig, schema)
 
 
 def minhash_lsh_candidates(sig_df: DataFrame, bands: int = 16) -> DataFrame:
@@ -203,28 +226,33 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     """LSH candidates -> candidate-restricted exact Jaccard verify >= t.
 
     Banding r = num_hashes/bands = 2 rows/band: P[candidate | j >= 0.7]
-    = 1-(1-0.49)^32 ~ 1-2e-10, so the output equals the exact pair set at
-    this threshold (gated against the exact oracle at sf0.01). The verify
-    touches only candidate pairs — at corpus scale that is the whole point:
-    O(corpus) signatures + O(bucket^2) candidates, never all pairs.
+    = 1-(1-0.49)^32 ~ 1-2e-10 per true pair, and the signature prefilter
+    below adds ~1e-7 more (see its comment) — so the output equals the exact
+    pair set at this threshold up to a per-pair miss probability ~1e-7, NOT
+    a hard recall-1 guarantee (gated hash-equal against the exact oracle at
+    sf0.01, where the expected miss count is ~0). The verify touches only
+    candidate pairs — at corpus scale that is the whole point: O(corpus)
+    signatures + O(bucket^2) candidates, never all pairs.
 
-    Verify = join each candidate pair to the two docs' distinct-gram ARRAYS
-    and intersect JVM-side (``F.array_intersect``, hash-set O(|a|+|b|) inside
-    codegen): one row per candidate instead of exploding |candidates| x
-    |grams| rows through a shuffle — on a degenerate high-similarity corpus
-    (many candidates) that exploded join was the dominant cost. Grams are
-    xxhash64-hashed to int64 BEFORE set-building: |gram set| and
-    |intersection| are unchanged (64-bit collisions across a doc pair's few
-    hundred grams: ~1e-13), and long-array intersection is several times
-    faster than 3-char-string intersection."""
-    sigs = minhash_signatures(df, text_col, n, num_hashes).cache()
-    cands = minhash_lsh_candidates(sigs, bands)
+    ONE corpus scan total: the signature pass also emits each doc's distinct
+    packed-gram array (``with_grams=True``), so the exact verify is a join of
+    the candidate pairs against those arrays — no second scan, no full-corpus
+    explode/distinct/collect_set shuffle. Candidates are tiny relative to the
+    corpus, so AQE broadcasts them and the gram arrays never move; packing is
+    a bijection for n <= 8, hence ``F.array_intersect`` over packed grams
+    (hash-set O(|a|+|b|) inside codegen) counts string-gram intersections
+    exactly."""
+    sigs = minhash_signatures(df, text_col, n, num_hashes,
+                              with_grams=True).cache()
+    cands = minhash_lsh_candidates(sigs.select("doc_id", "sig"), bands)
     # signature prefilter: estimated jaccard = fraction of agreeing minhash
     # slots; drop candidates estimated far below threshold before the exact
-    # verify. Cut at t - 0.2: a TRUE pair (j >= 0.7) estimates below 0.5
-    # w.p. P[Bin(64, .7) < 32] ~ 2e-4 — and on a degenerate high-similarity
-    # corpus (where banding passes ~all pairs) this removes almost the whole
-    # verify join. Exactness is re-checked by the oracle gate at every sf.
+    # verify. Cut at t - 0.3: a TRUE pair (j >= 0.7) estimates below 0.4
+    # w.p. P[Bin(64, .7) <= 25] ~ 6e-8 (vs ~2e-4 at a t-0.2 margin) — this,
+    # not banding (~2e-10), dominates the per-pair miss budget quoted above.
+    # On a degenerate high-similarity corpus (where banding passes ~all
+    # pairs) the prefilter still removes most of the verify join. Exactness
+    # is re-checked by the oracle gate at every sf.
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -235,24 +263,22 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     # no broadcast hint: sigs scale with the corpus; AQE broadcasts when small
     cands = (
         cands.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(est >= threshold - 0.2)
+        .filter(est >= threshold - 0.3)
         .select("doc_a", "doc_b")
     )
-    gram_sets = (
-        char_ngrams(df, text_col, n)
-        .select("doc_id", F.xxhash64("gram").alias("g"))
-        .groupBy("doc_id").agg(F.collect_set("g").alias("grams"))
-    )
-    ga = gram_sets.select(F.col("doc_id").alias("doc_a"),
-                          F.col("grams").alias("grams_a"))
-    gb = gram_sets.select(F.col("doc_id").alias("doc_b"),
-                          F.col("grams").alias("grams_b"))
+    ga = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("grams").alias("grams_a"))
+    gb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
         cands.join(ga, "doc_a").join(gb, "doc_b")
         .withColumn("inter", inter)
-        .withColumn("jaccard", F.col("inter")
-                    / (F.size("grams_a") + F.size("grams_b") - F.col("inter")))
+        # try_divide: two gramless docs (empty arrays) band together and
+        # reach the verify with union size 0 -> null jaccard -> filtered
+        .withColumn("jaccard", F.try_divide(
+            F.col("inter"),
+            F.size("grams_a") + F.size("grams_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -277,12 +303,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
             packed, starts, doc_idx = _batch_distinct_grams(texts, n)
             if packed.size:
                 h = xxh64_u64(packed, seed)
-                # int16 is enough: grams-per-doc < 2^15 by construction of
-                # the corpus; bit j of a doc is set iff > half its grams set it
-                bits = ((h[:, None] & bitcols[None, :]) != 0).astype(np.int16)
+                # int32 vote counters: a doc may legitimately carry up to
+                # 2^31 distinct grams (the reduceat is not the hot path —
+                # int16 would silently overflow past 2^15 grams/doc);
+                # bit j of a doc is set iff > half its grams set it
+                bits = ((h[:, None] & bitcols[None, :]) != 0).astype(np.int32)
                 counts = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
                 sizes = np.diff(np.r_[starts, packed.size])[:, None]
-                out[doc_idx] = ((counts * 2 > sizes)
+                out[doc_idx] = ((counts.astype(np.int64) * 2 > sizes)
                                 * bitcols[None, :]).sum(axis=1).view(np.int64)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(out)], names=["doc_id", "simhash"]
@@ -345,7 +373,7 @@ def near_dup_clusters(ids: DataFrame, pairs: DataFrame,
     )
     labels = ids.select(F.col(id_col).alias("node"),
                         F.col(id_col).alias("label")).cache()
-    for _ in range(max_iters):
+    for it in range(max_iters):
         msgs = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
@@ -353,8 +381,13 @@ def near_dup_clusters(ids: DataFrame, pairs: DataFrame,
         new_labels = (
             labels.unionAll(msgs)
             .groupBy("node").agg(F.min("label").alias("label"))
-            .cache()
         )
+        # deep components (long duplicate chains) grow a plan per round;
+        # truncate lineage every 5 rounds so the optimizer/scheduler cost
+        # stays O(1) per round instead of O(rounds)
+        if (it + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label")).count()

@@ -130,6 +130,38 @@ def fp_coefficients(window: int) -> list[int]:
     return pw[::-1]
 
 
+def _batch_window_hashes(texts, window: int):
+    """Karp–Rabin hash of EVERY ``window``-byte substring for every doc of a
+    batch in one flat vectorized pass (no per-doc Python loop — the
+    ``_batch_distinct_grams`` flat-concat + boundary-mask trick):
+
+    - concatenate all texts into one byte array;
+    - Horner over the window: ``window`` vectorized shifted-view ops, each
+      with an intermediate < (p-1)*257 + 255 < 2^40 (exact in int64; equal to
+      the coefficient dot product mod p, which the SQL oracle recomputes);
+    - a window starting at flat position j belongs to doc d(j) and is valid
+      iff it does not cross d's end.
+
+    Returns (acc, doc): hashes of valid windows grouped by doc in flat
+    (= per-doc position) order, and the doc row-index of each hash. Docs
+    shorter than ``window`` emit nothing."""
+    enc = [(t or "").encode("utf-8") for t in texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    total = int(lens.sum())
+    if total < window:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
+    n_win = total - window + 1
+    acc = np.zeros(n_win, dtype=np.int64)
+    for i in range(window):
+        acc = (acc * _FP_BASE + flat[i:i + n_win]) % _FP_MOD
+    ends = np.cumsum(lens)
+    pos = np.arange(n_win, dtype=np.int64)
+    doc = np.repeat(np.arange(len(enc), dtype=np.int64), lens)[:n_win]
+    valid = pos + window <= ends[doc]
+    return acc[valid], doc[valid]
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         window: int = 16, w: int = 8) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
@@ -143,31 +175,37 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
     Output: (doc_id, fingerprint) distinct scalar rows; the identical
     polynomial + window-min is reproducible in SQL (see the catalog oracle).
-    Docs shorter than window + w - 1 bytes emit no rows."""
+    Docs shorter than window + w - 1 bytes emit no rows.
+
+    Batch-vectorized end-to-end (no per-doc Python loop): one flat
+    Karp–Rabin pass for the whole batch (``_batch_window_hashes``), one
+    global sliding-min whose cross-doc windows are masked out, one lexsort
+    for the per-doc distinct — O(batch) numpy ops regardless of doc count."""
 
     def _win(batches):
-        coeffs = np.array(fp_coefficients(window), dtype=np.int64)
         for b in batches:
             texts = b.column(1).to_pylist()
             ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
                              dtype=np.int64)
-            out_id, out_fp = [], []
-            for did, t in zip(ids, texts):
-                raw = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-                if raw.size < window + w - 1:
-                    continue
-                hw = np.lib.stride_tricks.sliding_window_view(raw, window)
-                acc = (hw.astype(np.int64) @ coeffs) % _FP_MOD
-                mins = np.lib.stride_tricks.sliding_window_view(acc, w).min(axis=1)
-                uniq = np.unique(mins)
-                out_id.append(np.full(uniq.size, did, dtype=np.int64))
-                out_fp.append(uniq)
-            if out_id:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(np.concatenate(out_id)),
-                     pa.array(np.concatenate(out_fp))],
-                    names=["doc_id", "fingerprint"],
-                )
+            acc, doc = _batch_window_hashes(texts, window)
+            if acc.size < w:
+                continue
+            mins = np.lib.stride_tricks.sliding_window_view(acc, w).min(axis=1)
+            # hashes are stored per doc contiguously in position order, so a
+            # min-window is inside one doc iff its first and last hash agree
+            ok = doc[:mins.size] == doc[w - 1:]
+            mins, mdoc = mins[ok], doc[:mins.size][ok]
+            if mins.size == 0:
+                continue
+            order = np.lexsort((mins, mdoc))
+            mdoc, mins = mdoc[order], mins[order]
+            keep_mask = np.r_[True, (mdoc[1:] != mdoc[:-1])
+                              | (mins[1:] != mins[:-1])]
+            mdoc, mins = mdoc[keep_mask], mins[keep_mask]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[mdoc]), pa.array(mins)],
+                names=["doc_id", "fingerprint"],
+            )
 
     return df.select("doc_id", text_col).mapInArrow(
         _win, "doc_id long, fingerprint long"
@@ -185,32 +223,34 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
     fp_rank the 1-based rank of the fingerprint among the doc's kept set
     (ascending) — scalar-typed so the result is exactly comparable (and
     oracle-checkable via the same polynomial recomputed in SQL; see
-    plans/pipeline_catalog.py). Docs shorter than ``window`` emit no rows."""
+    plans/pipeline_catalog.py). Docs shorter than ``window`` emit no rows.
+
+    Batch-vectorized end-to-end: one flat Karp–Rabin pass for the whole
+    batch, one lexsort for per-doc distinct+sort, ranks from run offsets —
+    O(batch) numpy ops regardless of doc count."""
 
     def _fp(batches):
-        coeffs = np.array(fp_coefficients(window), dtype=np.int64)
         for b in batches:
             texts = b.column(1).to_pylist()
             ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
                              dtype=np.int64)
-            out_id, out_rank, out_fp = [], [], []
-            for did, t in zip(ids, texts):
-                raw = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-                if raw.size < window:
-                    continue
-                w = np.lib.stride_tricks.sliding_window_view(raw, window)
-                acc = (w.astype(np.int64) @ coeffs) % _FP_MOD
-                uniq = np.unique(acc)[:keep]
-                out_id.append(np.full(uniq.size, did, dtype=np.int64))
-                out_rank.append(np.arange(1, uniq.size + 1, dtype=np.int32))
-                out_fp.append(uniq)
-            if out_id:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(np.concatenate(out_id)),
-                     pa.array(np.concatenate(out_rank)),
-                     pa.array(np.concatenate(out_fp))],
-                    names=["doc_id", "fp_rank", "fingerprint"],
-                )
+            acc, doc = _batch_window_hashes(texts, window)
+            if acc.size == 0:
+                continue
+            order = np.lexsort((acc, doc))
+            d, a = doc[order], acc[order]
+            keep_mask = np.r_[True, (d[1:] != d[:-1]) | (a[1:] != a[:-1])]
+            d, a = d[keep_mask], a[keep_mask]
+            starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+            run_start = np.repeat(starts, np.diff(np.r_[starts, d.size]))
+            rank = np.arange(d.size, dtype=np.int64) - run_start
+            sel = rank < keep
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[d[sel]]),
+                 pa.array((rank[sel] + 1).astype(np.int32)),
+                 pa.array(a[sel])],
+                names=["doc_id", "fp_rank", "fingerprint"],
+            )
 
     return df.select("doc_id", text_col).mapInArrow(
         _fp, "doc_id long, fp_rank int, fingerprint long"

@@ -8,7 +8,7 @@ This is the Spark re-expression of the reference's flagship path,
   host worker threads slice the input        | Spark partitions of the DataFrame
   hash dispatch item -> (rank, DPU)          | not needed: merge is assoc/comm,
     (``src/pim_bloom_filter.cpp:29-43``)     | any partitioning works
-  2^11-item DPU buckets, async launches      | Arrow batches inside mapInPandas
+  2^11-item DPU buckets, async launches      | Arrow batches inside mapInArrow
   16 tasklet sub-filters + mutexes           | one numpy sketch per partition,
     (``src/dpu/bloom_filters_dpu.cpp:100``)  | single writer, no locks
   gather + deterministic-order serialize     | partials sorted by partition_id,
@@ -55,26 +55,6 @@ def flatten_arrow(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
         arr = arr.drop_null()
     np_vals = arr.to_numpy(zero_copy_only=False)
     return np.ascontiguousarray(np_vals, dtype=np.int64)
-
-
-def flatten_numeric(series: pd.Series) -> np.ndarray:
-    """pandas fallback used by pandas-UDF call sites (per-row objects)."""
-    if len(series) == 0:
-        return np.empty(0, dtype=np.int64)
-    first = None
-    for v in series:
-        if v is not None:
-            first = v
-            break
-    if first is None:
-        return np.empty(0, dtype=np.int64)
-    if isinstance(first, (np.ndarray, list, tuple)):
-        chunks = [np.asarray(a, dtype=np.int64) for a in series
-                  if a is not None and len(a) > 0]
-        if not chunks:
-            return np.empty(0, dtype=np.int64)
-        return np.concatenate(chunks)
-    return series.dropna().to_numpy(dtype=np.int64)
 
 
 def build_partials(df: DataFrame, col: str, make: Callable[[], Sketch]) -> DataFrame:
@@ -150,31 +130,63 @@ def build_sketch_grouped(df: DataFrame, group_cols, col: str,
     gschema = ", ".join(f"{c} {dtypes[c]}" for c in group_cols)
     out_schema = f"{gschema}, sketch binary, n_rows long, n_values long"
     partial_schema = out_schema + ", _pid int"
+    n_gcols = len(group_cols)
 
-    def _partials(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    def _partials(batches: Iterable[pa.RecordBatch]) -> Iterable[pa.RecordBatch]:
+        # vectorized batch grouping (the checkpoint.py bucket pattern):
+        # dictionary-encode each group column, mix the codes into one int64
+        # key per row, argsort once, slice the Arrow value column per run —
+        # no pandas object rows, values flow zero-copy through flatten_arrow
+        import pyarrow.compute as pc
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         sketches: dict = {}
         stats: dict = {}
-        for pdf in batches:
-            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
-                key = key if isinstance(key, tuple) else (key,)
-                vals = flatten_numeric(sub[col])
+        fields = None
+        for b in batches:
+            if fields is None:
+                fields = [b.schema.field(i).type for i in range(n_gcols)]
+            gcols = [b.column(i) for i in range(n_gcols)]
+            data = b.column(n_gcols)
+            codes = np.zeros(b.num_rows, dtype=np.int64)
+            for c in gcols:
+                d = pc.dictionary_encode(c)
+                idx = pc.fill_null(d.indices, -1).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                codes = codes * (len(d.dictionary) + 1) + (idx + 1)
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            bounds = np.r_[0, np.flatnonzero(np.diff(sc)) + 1, len(sc)]
+            arr = data.take(pa.array(order))
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                row0 = int(order[lo])
+                key = tuple(c[row0].as_py() for c in gcols)
+                v = flatten_arrow(arr.slice(lo, hi - lo))
                 sk = sketches.get(key)
                 if sk is None:
                     sk = sketches[key] = make()
                     stats[key] = [0, 0]
-                sk.insert_bulk(vals)
-                stats[key][0] += len(sub)
-                stats[key][1] += int(vals.size)
+                sk.insert_bulk(v)
+                stats[key][0] += hi - lo
+                stats[key][1] += int(v.size)
         if sketches:
-            yield pd.DataFrame(
-                [(*k, sk.to_bytes(), *stats[k], pid)
-                 for k, sk in sketches.items()],
-                columns=[*group_cols, "sketch", "n_rows", "n_values", "_pid"],
+            ks = list(sketches)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    *(pa.array([k[j] for k in ks], type=fields[j])
+                      for j in range(n_gcols)),
+                    pa.array([sketches[k].to_bytes() for k in ks],
+                             type=pa.binary()),
+                    pa.array([stats[k][0] for k in ks], type=pa.int64()),
+                    pa.array([stats[k][1] for k in ks], type=pa.int64()),
+                    pa.array([pid] * len(ks), type=pa.int32()),
+                ],
+                names=[*group_cols, "sketch", "n_rows", "n_values", "_pid"],
             )
 
-    partials = df.select(*group_cols, col).mapInPandas(_partials, partial_schema)
+    partials = df.select(*group_cols, col).mapInArrow(_partials, partial_schema)
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_pid")  # deterministic merge order

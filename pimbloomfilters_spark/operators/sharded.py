@@ -238,7 +238,12 @@ def probe_array_distributed(
     materialized on one node: posexplode -> cogroup probe (positions ride
     through as passthrough columns) -> regroup per row ordered by position.
     This is the array-column twin of ``probe_bloom_distributed`` — the shape
-    for probing token sequences against a multi-GB filter."""
+    for probing token sequences against a multi-GB filter.
+
+    Rows whose token array is empty or null survive with ``member = []``
+    (matching the broadcast twin ``probe_array_column``): posexplode emits no
+    rows for them, so the probed results are left-joined back to the full id
+    set and the gap filled with an empty array."""
     ex = df.select(
         F.col(id_col),
         F.posexplode(F.col(tokens_col)).alias("_pos", "_tok"),
@@ -247,11 +252,16 @@ def probe_array_distributed(
         ex, shards, "_tok", size2, nb_hash, seed, block_bits, n_shards,
         out_col=out_col, passthrough=(id_col, "_pos"),
     )
-    return (
+    regrouped = (
         probed.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("_pos", out_col))).alias("_s"))
         .select(
             id_col,
             F.transform(F.col("_s"), lambda x: x[out_col]).alias(out_col),
         )
+    )
+    return (
+        df.select(id_col).join(regrouped, id_col, "left")
+        .withColumn(out_col, F.coalesce(
+            F.col(out_col), F.expr("CAST(array() AS array<boolean>)")))
     )

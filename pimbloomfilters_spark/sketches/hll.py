@@ -102,10 +102,36 @@ class HyperLogLog(Sketch):
     def config(self) -> dict[str, Any]:
         return {"p": self.p, "seed": self.seed}
 
+    # Payload wire form, self-describing by the first byte:
+    #   raw m register bytes            dense (unchanged legacy form — a
+    #                                   register value is rho <= 64-p+1 <= 61,
+    #                                   so the first byte can never collide
+    #                                   with the sparse tag 'S' = 0x53)
+    #   b'S' + idx uint32[n] + rho u8[n]  sparse nonzero registers
+    # Sparse is chosen automatically when it is smaller (fill < ~20%). This
+    # matters for GROUPED builds: one partial per (partition, group) at p=14
+    # is a 16 KB dense blob; with 10^5-10^6 mostly-empty groups the partial
+    # shuffle is tens of GB dense vs KBs sparse (operators/build.py).
     def payload(self) -> bytes:
+        nz = np.flatnonzero(self._regs)
+        if 1 + 5 * nz.size < self.m:
+            idx = nz.astype(np.uint32)
+            return b"S" + idx.tobytes() + self._regs[nz].tobytes()
         return self._regs.tobytes()
 
     def _load_payload(self, raw: bytes) -> None:
+        if raw[:1] == b"S":
+            n = (len(raw) - 1) // 5
+            if len(raw) != 1 + 5 * n:
+                raise ValueError("corrupt sparse hll payload")
+            idx = np.frombuffer(raw, dtype=np.uint32, count=n, offset=1)
+            rho = np.frombuffer(raw, dtype=np.uint8, count=n, offset=1 + 4 * n)
+            if n and int(idx.max()) >= self.m:
+                raise ValueError("sparse hll payload index out of range")
+            regs = np.zeros(self.m, dtype=np.uint8)
+            regs[idx.astype(np.int64)] = rho
+            self._regs = regs
+            return
         arr = np.frombuffer(raw, dtype=np.uint8)
         if arr.shape != self._regs.shape:
             raise ValueError("payload size mismatch for hll geometry")

@@ -63,13 +63,17 @@ class KLLSketch(Sketch):
                 h += 1
 
     # -- build -------------------------------------------------------------------
+    _CHUNK = 32_768  # level-0 ingestion slice: bounds peak memory at the
+    # chunk (a multi-million-value partition otherwise sits in level 0 in
+    # full and gets sorted at once); same discipline as bloom.py's insert
+
     def insert_bulk(self, values: np.ndarray) -> None:
         values = np.asarray(values, dtype=np.float64)
-        if values.size == 0:
-            return
-        self._levels[0] = np.concatenate([self._levels[0], values])
-        self.n += int(values.size)
-        self._compact()
+        for lo in range(0, values.size, self._CHUNK):
+            chunk = values[lo:lo + self._CHUNK]
+            self._levels[0] = np.concatenate([self._levels[0], chunk])
+            self.n += int(chunk.size)
+            self._compact()
 
     # -- query ---------------------------------------------------------------------
     def _weighted(self) -> tuple[np.ndarray, np.ndarray]:

@@ -42,8 +42,21 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # several catalog queries derive the same token table in one session; keep
 # one persisted copy per (session, sf_dir) so the gate doesn't recompute the
-# explode+vocab join six times
+# explode+vocab join six times. Release with ``unpersist_tokens`` when done
+# (a long-lived service would otherwise hold the persisted RDD forever).
 _TOK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def unpersist_tokens(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Unpersist + drop the session's cached token tables (all sf_dirs, or
+    just one). Returns the number of entries released. Call from batch-runner
+    teardown; safe to call repeatedly."""
+    app = spark.sparkContext.applicationId
+    keys = [k for k in _TOK_CACHE
+            if k[0] == app and (sf_dir is None or k[1] == sf_dir)]
+    for k in keys:
+        _TOK_CACHE.pop(k).unpersist()
+    return len(keys)
 
 
 def tokens_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -299,6 +299,7 @@ def sharded_dedup_stream(
     size2: int = 26,
     nb_hash: int = 8,
     n_shards: int = 32,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming drop-already-seen filter with the Bloom state held
     EXECUTOR-SIDE: the logical filter is split into ``n_shards`` disjoint
@@ -306,6 +307,10 @@ def sharded_dedup_stream(
     bits, lives in exactly one shard), each shard's bitmap is GroupState in
     the Structured Streaming state store, and every micro-batch routes keys
     to their shard with the same JVM-side hash used by the batch operators.
+    Keys are cast to long BEFORE routing (JVM xxhash64 of an int32 column
+    hashes 4 bytes; the numpy path hashes the 8-byte value — an uncast int
+    key would land in the wrong shard's state, see probe_bloom_distributed);
+    the emitted key column is therefore always long.
 
     vs ``dedup_stream_query`` (foreachBatch + driver-held filter): nothing is
     re-shipped per batch (the foreachBatch path addFile's a fresh filter
@@ -313,64 +318,106 @@ def sharded_dedup_stream(
     driver restarts transactionally with the offsets (no side snapshots), and
     memory scales out: each executor holds only its shards' m/n_shards bits.
     Emits first occurrences (append mode); false positives drop a first
-    occurrence with p = FPR, the standard approximate-dedup trade. Dedup
-    state intentionally never expires (NoTimeout) — a TTL'd variant would
-    evict via ProcessingTimeTimeout.
-    """
+    occurrence with p = FPR, the standard approximate-dedup trade.
+
+    ``ttl_ms=None``: dedup state never expires (NoTimeout) — right for
+    bounded key domains. ``ttl_ms=N``: ROTATING-GENERATION expiry, the
+    standard Bloom-TTL construction (bits cannot be deleted, so the filter
+    keeps two generations): inserts go to the current generation, membership
+    checks current OR previous, and when a generation is older than
+    ``ttl_ms`` it is demoted to previous (the old previous is dropped). A key
+    is remembered for at least ttl_ms and at most 2*ttl_ms after insertion;
+    a long-idle shard's whole state is evicted via ProcessingTimeTimeout.
+    State per shard doubles (two bitmaps) but stays bounded forever. Note:
+    processing-time timers keep scheduling batches, so a TTL'd query under
+    ``trigger(availableNow=True)`` does not self-terminate — run it with a
+    processing-time trigger (it's for long-lived streams), or drain with
+    ``processAllAvailable()`` + ``stop()`` in tests."""
     import math as _math
 
-    from pyspark.sql.types import IntegerType, StructField as _SF, StructType as _ST
+    from pyspark.sql.types import StructField as _SF, StructType as _ST
 
     from ..operators.sharded import _shard_expr
-    from ..sketches.bloom import BLOCK_BITS, bloom_positions, scatter_or_bits
+    from ..sketches.bloom import BLOCK_BITS, bloom_positions
 
     if n_shards & (n_shards - 1):
         raise ValueError("n_shards must be a power of two")
+    if ttl_ms is not None and ttl_ms <= 0:
+        raise ValueError("ttl_ms must be positive (or None for no expiry)")
     shard_bits = int(_math.log2(n_shards))
     shard_size_bits = (1 << size2) // n_shards
-    out_schema = StructType([stream_df.schema[key_col]])
-    state_schema = _ST([_SF("bitmap", BinaryType()), _SF("n_seen", LongType())])
+    n_words = shard_size_bits // 64
+    out_schema = StructType([StructField(key_col, LongType())])
+    state_schema = _ST([
+        _SF("bitmap", BinaryType()),      # current generation
+        _SF("bitmap_prev", BinaryType()),  # previous generation (TTL only)
+        _SF("gen_start_ms", LongType()),
+        _SF("n_seen", LongType()),
+    ])
+    empty = b""
+
+    def _positions(vals: np.ndarray, base: int) -> tuple[np.ndarray, np.ndarray]:
+        pos = bloom_positions(vals, size2, nb_hash, 42, BLOCK_BITS) \
+            - np.uint64(base)
+        return (pos >> np.uint64(6)).astype(np.int64), \
+            np.uint64(1) << (pos & np.uint64(63))
 
     def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # idle shard past TTL: drop everything
+            state.remove()
+            return
         (shard,) = key
+        now = state.getCurrentProcessingTimeMs() if ttl_ms is not None else 0
         if state.exists:
-            blob, n_seen = state.get
+            blob, blob_prev, gen_start, n_seen = state.get
             words = np.frombuffer(bytes(blob), dtype=np.uint64).copy()
+            prev = (np.frombuffer(bytes(blob_prev), dtype=np.uint64).copy()
+                    if blob_prev else None)
         else:
-            words = np.zeros(shard_size_bits // 64, dtype=np.uint64)
-            n_seen = 0
+            words, prev, gen_start, n_seen = \
+                np.zeros(n_words, dtype=np.uint64), None, now, 0
+        if ttl_ms is not None and now - gen_start >= ttl_ms:
+            # rotate; two+ TTLs idle -> both generations are stale
+            prev = None if now - gen_start >= 2 * ttl_ms else words
+            words = np.zeros(n_words, dtype=np.uint64)
+            gen_start = now
         base = shard * shard_size_bits
         out = []
         for pdf in pdfs:
             vals = pd.unique(pdf[key_col].to_numpy())  # in-batch exact dedup
-            pos = bloom_positions(
-                np.asarray(vals, dtype=np.int64), size2, nb_hash,
-                42, BLOCK_BITS) - np.uint64(base)
-            w = (pos >> np.uint64(6)).astype(np.int64)
-            bits = np.uint64(1) << (pos & np.uint64(63))
+            vals = np.asarray(vals, dtype=np.int64)
+            w, bits = _positions(vals, base)
             hit = (words[w] & bits) != 0
+            if prev is not None:
+                hit |= (prev[w] & bits) != 0
             seen = hit.reshape(-1, nb_hash).all(axis=1)
             fresh = vals[~seen]
-            if fresh.size:
-                scatter_or_bits(
-                    words, bloom_positions(
-                        np.asarray(fresh, dtype=np.int64), size2, nb_hash,
-                        42, BLOCK_BITS), pos_offset=base)
+            if fresh.size:  # reuse the probe positions for the insert
+                fw = w.reshape(-1, nb_hash)[~seen].ravel()
+                fbits = bits.reshape(-1, nb_hash)[~seen].ravel()
+                np.bitwise_or.at(words, fw, fbits)
                 n_seen += int(fresh.size)
                 out.append(fresh)
-        state.update((words.tobytes(), n_seen))
+        state.update((
+            words.tobytes(),
+            prev.tobytes() if prev is not None else empty,
+            int(gen_start), int(n_seen),
+        ))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(2 * ttl_ms)
         if out:
             yield pd.DataFrame({key_col: np.concatenate(out)})
 
-    keyed = stream_df.select(key_col).withColumn(
-        "_shard", _shard_expr(key_col, shard_bits).cast("int")
-    )
+    keyed = stream_df.select(
+        F.col(key_col).cast("long").alias(key_col)
+    ).withColumn("_shard", _shard_expr(key_col, shard_bits).cast("int"))
     return keyed.groupBy("_shard").applyInPandasWithState(
         _update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if ttl_ms is not None else GroupStateTimeout.NoTimeout),
     )
 
 

@@ -345,3 +345,18 @@ def test_near_dup_clusters_transitive(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup.near_dup_clusters(ids, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5, 9: 9}
+
+
+def test_near_dup_clusters_deep_chain(spark):
+    """A planted 20-doc duplicate CHAIN (consecutive pairs only) is one
+    component of diameter 19 — exercises many propagation rounds plus the
+    periodic localCheckpoint lineage truncation; the fixpoint labels every
+    node with the chain minimum."""
+    ids = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.near_dup_clusters(ids, pairs).collect()}
+    assert all(got[i] == 0 for i in range(20)), got
+    assert all(got[i] == i for i in range(20, 25))  # singletons label self

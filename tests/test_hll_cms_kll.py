@@ -393,3 +393,57 @@ def test_sketches_vs_spark_native_oracles(spark, sf_dir):
 
     assert ours_bf.contains_bulk(np.array(keys, dtype=np.int64)).all()
     assert all(native_bf.mightContainLong(int(k)) for k in keys[:500])
+
+
+# ------------------------------------------------- HLL sparse payloads
+def test_hll_sparse_payload_roundtrip_and_merge():
+    """Low-fill HLLs serialize sparse ((idx, rho) pairs, KBs instead of the
+    16 KB dense register block at p=14); high-fill stays dense; the two forms
+    round-trip and merge interchangeably."""
+    lo = HyperLogLog(p=14)
+    lo.insert_bulk(np.arange(100, dtype=np.int64))
+    sparse_blob = lo.to_bytes()
+    assert len(sparse_blob) < 1500 < lo.m  # far under dense
+    back = sketch_from_bytes(sparse_blob)
+    assert np.array_equal(back._regs, lo._regs)
+
+    hi = HyperLogLog(p=14)
+    hi.insert_bulk(np.arange(200_000, dtype=np.int64))
+    dense_blob = hi.to_bytes()
+    assert len(dense_blob) >= hi.m  # dense form kept when fill is high
+    back_hi = sketch_from_bytes(dense_blob)
+    assert np.array_equal(back_hi._regs, hi._regs)
+
+    # merge sparse into dense and dense into sparse: register-max either way
+    a = sketch_from_bytes(sparse_blob).merge(sketch_from_bytes(dense_blob))
+    b = sketch_from_bytes(dense_blob).merge(sketch_from_bytes(sparse_blob))
+    assert np.array_equal(a._regs, b._regs)
+    one = HyperLogLog(p=14)
+    one.insert_bulk(np.arange(200_000, dtype=np.int64))  # superset of lo
+    assert np.array_equal(a._regs, one._regs)
+
+
+def test_hll_legacy_dense_payload_still_loads():
+    """Pre-round-3 blobs were raw m register bytes with no tag — set_data
+    (reference set_data contract) and old serialized sketches must load."""
+    h = HyperLogLog(p=10)
+    h.insert_bulk(np.arange(5000, dtype=np.int64))
+    legacy = h._regs.tobytes()  # the old wire form
+    h2 = HyperLogLog(p=10)
+    h2.set_data(legacy)
+    assert np.array_equal(h2._regs, h._regs)
+
+
+def test_kll_chunked_ingestion_bounds_level0():
+    """insert_bulk feeds level 0 in fixed-size slices: after a multi-chunk
+    bulk insert no level holds more than its cap + one chunk, and estimates
+    stay within the rank-error envelope."""
+    k = KLLSketch(k=200)
+    n = 300_000
+    k.insert_bulk(np.arange(n, dtype=np.float64))
+    assert k.n == n
+    for h, lvl in enumerate(k._levels):
+        assert lvl.size <= k._cap(h) + k._CHUNK
+    # uniform data: quantile(q) ~ q*n
+    for q in (0.1, 0.5, 0.9):
+        assert abs(k.quantile(q) - q * n) <= k.rank_error() * n * 3

@@ -107,10 +107,10 @@ def test_grouped_build_matches_per_group(spark, sf_dir):
         assert rows[src]["n_values"] == m["n_values"]
     # map-side combine: the only exchange sits ABOVE the partial builder
     # (it carries per-(partition, group) sketch blobs, never raw rows) — no
-    # shuffle below the last MapInPandas. AQE may print the plan twice.
+    # shuffle below the last MapInArrow. AQE may print the plan twice.
     plan = _plan(grouped)
     assert "Exchange hashpartitioning(source" in plan
-    assert "Exchange" not in plan[plan.rindex("MapInPandas"):]
+    assert "Exchange" not in plan[plan.rindex("MapInArrow"):]
 
 
 def test_runtime_filter_join_exact_even_when_filter_saturated(spark, sf_dir):
@@ -158,3 +158,26 @@ def test_blocked_pairs_plan_no_collect(spark, sf_dir):
     plan = _plan(df)
     assert "FlatMapCoGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 2  # one per cogroup side
+
+
+def test_grouped_build_sparse_hll_blob_reduction(spark):
+    """Grouped HLL builds at real group counts: sparse payloads shrink the
+    partial-blob shuffle >10x vs dense (p=14 dense = 16 KB per (partition,
+    group) partial; 2k mostly-empty groups would shuffle tens of MB dense).
+    Estimates must still be exact-ish per group."""
+    from pimbloomfilters_spark.operators.build import build_partials, build_sketch_grouped
+
+    n_groups = 2000
+    df = (spark.range(0, 40_000, numPartitions=8)
+          .selectExpr("id % 2000 AS g", "id AS v"))
+    hll = functools.partial(make_sketch, "hll", p=14)
+    rows = build_sketch_grouped(df, ["g"], "v", hll).collect()
+    assert len(rows) == n_groups
+    total_blob = sum(len(bytes(r["sketch"])) for r in rows)
+    dense_total = n_groups * (1 << 14)
+    assert total_blob * 10 < dense_total, (total_blob, dense_total)
+    from pimbloomfilters_spark.sketches import sketch_from_bytes
+
+    for r in rows[:5]:
+        est = sketch_from_bytes(bytes(r["sketch"])).estimate()
+        assert abs(est - 20) <= 3  # 20 distinct values per group

@@ -138,7 +138,8 @@ def test_batch_distinct_grams_matches_reference(texts):
 
     n = 3
     packed, starts, doc_idx = _batch_distinct_grams(texts, n)
-    # reference: per-doc set of base-131 packed byte windows
+    # reference: per-doc set of base-256 packed byte windows (a bijection
+    # gram <-> uint64 for n <= 8, which the minhash verify stage relies on)
     expect = {}
     for i, t in enumerate(texts):
         raw = t.encode("utf-8", "ignore")
@@ -146,7 +147,7 @@ def test_batch_distinct_grams_matches_reference(texts):
         for p in range(len(raw) - n + 1):
             v = 0
             for b in raw[p:p + n]:
-                v = (v * 131 + b) % (1 << 64)
+                v = v * 256 + b
             s.add(v)
         if s:
             expect[i] = s

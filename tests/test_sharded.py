@@ -133,3 +133,32 @@ def test_probe_array_distributed_equals_broadcast(spark, sf_dir):
     }
     assert dist == bc and len(dist) == 300
     assert all(all(m) for m in dist.values()), "no false negatives"
+
+
+def test_probe_array_distributed_empty_and_null_rows(spark):
+    """Empty-array and null-array rows must survive with member = [] —
+    matching the broadcast twin (posexplode alone would drop them)."""
+    from pimbloomfilters_spark.operators.probe import probe_array_column
+    from pimbloomfilters_spark.operators.sharded import (
+        assemble_bloom,
+        build_bloom_shards,
+        probe_array_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30]), (2, []), (3, None), (4, [999_999])],
+        "doc_id long, tokens array<long>",
+    )
+    geom = dict(size2=20, nb_hash=8)
+    src = df.filter("doc_id = 1")  # only doc 1's tokens are inserted
+    shards = build_bloom_shards(src, "tokens", n_shards=16, **geom).cache()
+    bf = assemble_bloom(shards.collect(), n_shards=16, **geom)
+    dist = {r["doc_id"]: r["member"]
+            for r in probe_array_distributed(
+                df, shards, "doc_id", "tokens", n_shards=16, **geom).collect()}
+    bc = {r["doc_id"]: r["member"]
+          for r in probe_array_column(df, bf, "tokens").collect()}
+    assert set(dist) == {1, 2, 3, 4}
+    assert dist[1] == [True, True, True]
+    assert dist[2] == [] and dist[3] == []
+    assert dist == bc

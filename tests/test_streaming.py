@@ -245,3 +245,88 @@ def test_stream_probe_against_static_filter(spark, tmp_path_factory):
     got = {r["id"] for r in spark.read.parquet(out_dir).collect()}
     expect = set(range(0, 1000)) | set(range(2000, 3000)) | set(range(4000, 5000))
     assert got == expect
+
+
+def test_sharded_dedup_stream_int32_keys(spark, tmp_path_factory):
+    """int32 key columns must route correctly: JVM xxhash64 of an INT hashes
+    4 bytes while the numpy bitmap math hashes the 8-byte value — without the
+    cast-to-long a key lands in the wrong shard's state (IndexError or
+    silently dropped rows). Output == exact first-occurrence set."""
+    from pimbloomfilters_spark.streaming import sharded_dedup_stream
+
+    data_dir = str(tmp_path_factory.mktemp("sdi_in"))
+    out_dir = str(tmp_path_factory.mktemp("sdi_out")) + "/result"
+    ckpt = str(tmp_path_factory.mktemp("sdi_ckpt"))
+    for i in range(2):
+        (spark.range(0, 2000).union(spark.range(5000 + i * 1000,
+                                                5000 + (i + 1) * 1000))
+         .select(F.col("id").cast("int").alias("k"))
+         .coalesce(1).write.mode("append").parquet(data_dir))
+    stream = (spark.readStream.schema("k int")
+              .option("maxFilesPerTrigger", 1).parquet(data_dir))
+    q = (sharded_dedup_stream(stream, "k", size2=24, n_shards=16)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 4000
+    assert got.select("k").distinct().count() == 4000
+    assert dict(got.dtypes)["k"] == "bigint"  # normalized to long
+
+
+def test_sharded_dedup_stream_ttl_readmits(spark, tmp_path_factory):
+    """Rotating-generation TTL: a key is deduped within the TTL window but
+    re-admitted once both generations covering it have been dropped
+    (> 2*ttl later). Without TTL the same key stays dropped forever."""
+    import time as _time
+
+    from pimbloomfilters_spark.streaming import sharded_dedup_stream
+
+    data_dir = str(tmp_path_factory.mktemp("ttl_in"))
+    out_dir = str(tmp_path_factory.mktemp("ttl_out")) + "/result"
+    ckpt = str(tmp_path_factory.mktemp("ttl_ckpt"))
+    ttl_ms = 12_000  # >> inter-batch latency, so "within TTL" is not racy
+
+    def _count():
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:  # sink not yet created
+            return -1
+
+    def _run(expect):
+        # a ProcessingTimeTimeout query keeps scheduling timer batches, so it
+        # never goes idle (processAllAvailable blocks forever, availableNow
+        # never self-terminates) — poll the sink to the expected count with a
+        # deadline, then stop. Committed parquet parts are readable mid-run.
+        stream = (spark.readStream.schema("id long")
+                  .option("maxFilesPerTrigger", 1).parquet(data_dir))
+        q = (sharded_dedup_stream(stream, "id", size2=22, n_shards=8,
+                                  ttl_ms=ttl_ms)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(processingTime="1 second").start())
+        deadline = _time.time() + 90
+        while _time.time() < deadline and _count() != expect:
+            _time.sleep(1.0)
+        # give a possible over-count a chance to materialize, then settle
+        _time.sleep(3.0)
+        q.stop()
+        q.awaitTermination(60)
+
+    keys = spark.range(0, 500)
+    # two identical files -> two micro-batches well inside one TTL window:
+    # batch 1 inserts, batch 2 is fully deduped
+    keys.coalesce(1).write.mode("append").parquet(data_dir)
+    keys.coalesce(1).write.mode("append").parquet(data_dir)
+    _run(500)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 500, "dup within TTL leaked"
+
+    # past 2*TTL: both generations stale -> keys re-admitted
+    _time.sleep(2 * ttl_ms / 1000 + 1.0)
+    keys.coalesce(1).write.mode("append").parquet(data_dir)
+    _run(1000)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 1000, "key not re-admitted after TTL"
+    assert got.distinct().count() == 500

@@ -1,6 +1,10 @@
 """Local replica of the driver's correctness gate: run every catalog query on
 Spark AND its DuckDB oracle at sf0.01; compare row count, column names, and an
-order-insensitive value hash. Usage: python tools/check_oracles.py [sf_dir]
+order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [name_substr ...]
+Extra args restrict the run to catalog entries whose name contains any of the
+given substrings (fast iteration on one query family).
 """
 
 from __future__ import annotations
@@ -45,8 +49,11 @@ def main() -> int:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    only = sys.argv[2:]
     failures = 0
     for name, spec in CATALOG.items():
+        if only and not any(s in name for s in only):
+            continue
         t0 = time.perf_counter()
         sdf = spec.fn(spark, sf_dir).toPandas()
         t_spark = time.perf_counter() - t0
@@ -70,8 +77,12 @@ def main() -> int:
             if sn != on or sh != oh:
                 print("  spark head:\n", sdf.head(5).to_string())
                 print("  oracle head:\n", odf.head(5).to_string())
+    from pimbloomfilters_spark.sources.tables import unpersist_tokens
+
+    released = unpersist_tokens(spark)
+    assert unpersist_tokens(spark) == 0  # idempotent; nothing left persisted
     spark.stop()
-    print("FAILURES:", failures)
+    print(f"FAILURES: {failures}  (token caches released: {released})")
     return 1 if failures else 0
 
 
