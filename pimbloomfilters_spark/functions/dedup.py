@@ -399,6 +399,40 @@ def near_dup_clusters(ids: DataFrame, pairs: DataFrame,
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster_id"))
+def decontaminate(train: DataFrame, test: DataFrame, text_col: str = "text",
+                  window: int = 16, w: int = 8,
+                  min_shared: int = 1) -> DataFrame:
+    """Benchmark decontamination: (train_doc_id, test_doc_id, n_shared) for
+    every training doc sharing >= ``min_shared`` winnowing fingerprints with
+    a test/benchmark doc — the standard train/eval overlap check an LLM data
+    pipeline runs before training.
+
+    Winnowing's guarantee (Schleimer-Wilkerson-Aiken 2003) makes this sound
+    for verbatim contamination: ANY shared byte span of length >=
+    window + w - 1 (default 23 bytes) yields a shared fingerprint, so a
+    training doc quoting that much of a benchmark item is always flagged;
+    n_shared grows with the quoted span length, so thresholding on it trades
+    sensitivity against chance 23-byte collisions.
+
+    100 TB shape: the benchmark side is tiny (thousands of docs), so its
+    fingerprint table is broadcast — the training corpus is ONE scan (the
+    batch-vectorized winnow pass) followed by a broadcast hash join; only
+    matching (train, test, fingerprint) rows reach the aggregation shuffle.
+    Cost is linear in the corpus, never pairwise."""
+    from .text import winnow_fingerprints
+
+    ftr = winnow_fingerprints(train, text_col, window, w).withColumnRenamed(
+        "doc_id", "train_doc_id")
+    fte = winnow_fingerprints(test, text_col, window, w).withColumnRenamed(
+        "doc_id", "test_doc_id")
+    return (
+        ftr.join(F.broadcast(fte), "fingerprint")
+        .groupBy("train_doc_id", "test_doc_id")
+        .agg(F.count("*").alias("n_shared"))  # fingerprints are distinct/doc
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id", threshold: float = 0.95,
                              n_blocks: int = 8) -> DataFrame:

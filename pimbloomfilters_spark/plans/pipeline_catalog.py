@@ -162,6 +162,55 @@ FROM winmins WHERE pos <= n_h - {_WIN_W - 1}
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark split carved deterministically out of the documents
+    table (every 50th doc is 'benchmark'); flags every training doc sharing a
+    winnowing fingerprint with a benchmark doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+    )
+
+
+# decontamination oracle: the winnow fingerprint CTE once over all docs,
+# then a fingerprint equi-join of the two deterministic halves
+_ORACLE_DECON = f"""
+WITH pos AS (
+  SELECT d.doc_id, d.text, g.pos
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(
+                1, greatest(length(d.text) - {_FP_W - 1}, 0))) AS pos) g
+),
+hashes AS (
+  SELECT doc_id, pos,
+         list_sum(list_transform(generate_series(0, {_FP_W - 1}),
+             i -> CAST(ascii(substr(text, pos + i, 1)) AS BIGINT)
+                  * {_FP_COEFFS}[i + 1])) % {text._FP_MOD} AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n_h
+  FROM pos
+),
+winmins AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+             AS fingerprint,
+         pos, n_h
+  FROM hashes
+),
+fps AS (
+  SELECT DISTINCT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint
+  FROM winmins WHERE pos <= n_h - {_WIN_W - 1}
+)
+SELECT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps tr JOIN fps te USING (fingerprint)
+WHERE tr.doc_id % 50 <> 0 AND te.doc_id % 50 = 0
+GROUP BY 1, 2
+HAVING count(*) >= 1
+"""
+
+
 # ----------------------------------------------------------------- dedup
 def _docs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 500-doc slice for the PAIRWISE gate queries. The
@@ -524,6 +573,9 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "doc_winnow_fingerprints": QuerySpec(
         q_winnow_fingerprints, _ORACLE_WINNOW,
         "proper winnowing (window-min) fingerprints, exact vs SQL window-min"),
+    "decontaminate": QuerySpec(
+        q_decontaminate, _ORACLE_DECON,
+        "train/benchmark overlap via winnow fingerprints, exact vs SQL join"),
     "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT,
                              "exact dedup: kept representative per content group"),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, _JACCARD_CTE,

@@ -360,3 +360,22 @@ def test_near_dup_clusters_deep_chain(spark):
            for r in dedup.near_dup_clusters(ids, pairs).collect()}
     assert all(got[i] == 0 for i in range(20)), got
     assert all(got[i] == i for i in range(20, 25))  # singletons label self
+
+
+def test_decontaminate_flags_planted_contamination(spark):
+    """A training doc quoting >= window+w-1 (23) contiguous bytes of a
+    benchmark doc MUST be flagged (winnowing guarantee); disjoint-vocab docs
+    must not be."""
+    bench_text = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [
+            (1, "prefix text then " + bench_text[5:40] + " then suffix"),
+            (2, "zz qq xx ww vv uu tt ss rr pp oo nn mm ll kk jj ii hh gg"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {(r["train_doc_id"], r["test_doc_id"]): r["n_shared"]
+           for r in dedup.decontaminate(train, test).collect()}
+    assert (1, 100) in got and got[(1, 100)] >= 1
+    assert (2, 100) not in got

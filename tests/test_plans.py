@@ -181,3 +181,17 @@ def test_grouped_build_sparse_hll_blob_reduction(spark):
     for r in rows[:5]:
         est = sketch_from_bytes(bytes(r["sketch"])).estimate()
         assert abs(est - 20) <= 3  # 20 distinct values per group
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination at 100 TB = one scan of the training corpus + a
+    broadcast join against the tiny benchmark fingerprint table — never a
+    shuffle of the corpus fingerprints to a sort-merge join."""
+    from pimbloomfilters_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = decontaminate(docs.filter(F.col("doc_id") % 50 != 0),
+                       docs.filter(F.col("doc_id") % 50 == 0))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
