@@ -199,6 +199,59 @@ ORDER BY cnt DESC, token_id ASC LIMIT 10
 """
 
 
+def q_cms_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BIGRAM heavy hitters — the n-gram language-model count a
+    training pipeline runs over the token table. Bigrams are formed
+    JVM-side inside each doc's token array (zip_with against the
+    1-shifted slice; codes = a*2^32 + b, exact in int64 for int32 token
+    ids) so no pair ever crosses a document boundary, then one CMS build
+    over the exploded code stream. Output = exact top-10 bigrams (Spark
+    groupBy) + booleans asserting the CMS estimate brackets each count
+    within eps*N — one-sided error, the published CMS contract."""
+    tt = token_table(spark, sf_dir)
+    code = F.zip_with(
+        "tokens",
+        F.slice("tokens", 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
+        lambda a, b: a.cast("long") * F.lit(4294967296) + b.cast("long"),
+    )
+    big = (
+        tt.select(F.explode(code).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())  # zip_with pads the tail
+    )
+    sk, _ = build_sketch(
+        big, "bigram", functools.partial(make_sketch, "cms", eps=1e-4, delta=1e-3)
+    )
+    top = (
+        big.groupBy("bigram").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram")).limit(10).collect()
+    )
+    codes = np.array([r["bigram"] for r in top], dtype=np.int64)
+    true_counts = np.array([r["cnt"] for r in top], dtype=np.int64)
+    est = sk.query_bulk(codes)
+    rows = [
+        (int(c >> 32), int(c & 0xFFFFFFFF), int(n),
+         bool(e >= n), bool(e <= n + sk.eps * sk.total))
+        for c, n, e in zip(codes, true_counts, est)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "tok_a int, tok_b int, cnt bigint, cms_ge_true boolean, cms_le_bound boolean",
+    )
+
+
+_ORACLE_CMS_BIGRAM = TOKENS_ORACLE_CTE + """
+, big AS (
+  SELECT CAST(t1.token_id AS BIGINT) * 4294967296 + t2.token_id AS bigram
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+)
+SELECT CAST(bigram // 4294967296 AS INT) AS tok_a,
+       CAST(bigram % 4294967296 AS INT) AS tok_b,
+       CAST(count(*) AS BIGINT) AS cnt,
+       TRUE AS cms_ge_true, TRUE AS cms_le_bound
+FROM big GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 10
+"""
+
+
 def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries complement of the CMS query: same exact top-10, with the
     MG one-sided UNDER-estimate guarantees (est <= true, true - est <= N/(k+1),
@@ -352,6 +405,10 @@ CATALOG: dict[str, QuerySpec] = {
     "mg_heavy_hitters": QuerySpec(
         q_mg_heavy_hitters, _ORACLE_MG,
         "Misra-Gries top-10: under-estimates within N/(k+1), all present",
+    ),
+    "cms_bigram_heavy_hitters": QuerySpec(
+        q_cms_bigram_heavy_hitters, _ORACLE_CMS_BIGRAM,
+        "token-bigram (LM n-gram) top-10 via CMS: one-sided error within eps*N",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,

@@ -195,3 +195,17 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_verify_single_scan_no_gram_aggregation(spark, sf_dir):
+    """The near-dup verify must NOT rebuild gram sets with a full-corpus
+    explode/collect_set aggregation — gram arrays come out of the same
+    mapInArrow pass that computes signatures (one corpus scan total)."""
+    from pimbloomfilters_spark.functions.dedup import minhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    plan = _plan(minhash_near_dup_pairs(docs, threshold=0.7))
+    assert "collect_set" not in plan
+    # exactly one source scan shape: every consumer reads the cached
+    # signature+grams frame (InMemoryTableScan), not a second parquet scan
+    assert "ObjectHashAggregate" not in plan
