@@ -344,6 +344,66 @@ def q_tdigest_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP quantiles through the grouped build: one job builds a KLL
+    sketch per source (map-side partials, sketch-blob-only shuffle — the
+    shape for 'a quantile profile per domain' at 10^5+ groups), then each
+    group's median estimate is checked against the exact per-source median
+    from a distributed (source, n_tok) histogram. Output = exact median per
+    source + the within-rank-error boolean, so the gate is exactly
+    SQL-checkable while still exercising the sketch path."""
+    from ..operators import build_sketch_grouped
+    from ..sketches import sketch_from_bytes
+
+    tt = token_table(spark, sf_dir)
+    kll = functools.partial(make_sketch, "kll", k=200)
+    sketches = build_sketch_grouped(tt, ["source"], "n_tok", kll).collect()
+    hist = (
+        tt.groupBy("source", "n_tok").agg(F.count("*").alias("cnt"))
+        .orderBy("source", "n_tok").collect()
+    )
+    per: dict[str, list] = {}
+    for r in hist:
+        per.setdefault(r["source"], []).append((r["n_tok"], r["cnt"]))
+    out = []
+    for r in sketches:
+        src = r["source"]
+        sk = sketch_from_bytes(bytes(r["sketch"]))
+        vals = np.array([v for v, _ in per[src]], dtype=np.int64)
+        cum = np.cumsum(np.array([c for _, c in per[src]], dtype=np.int64))
+        n = int(cum[-1])
+        assert n == sk.n
+        rank = int(math.ceil(0.5 * n))  # 1-based exact median rank
+        exact = int(vals[np.searchsorted(cum, rank, side="left")])
+        est = sk.quantile(0.5)
+        i_lo = np.searchsorted(vals, est, side="left")
+        i_hi = np.searchsorted(vals, est, side="right")
+        lo = int(cum[i_lo - 1]) if i_lo > 0 else 0
+        hi = int(cum[i_hi - 1]) if i_hi > 0 else 0
+        band = sk.rank_error() * n + 1
+        ok = (lo - band) <= 0.5 * n <= (hi + band)
+        out.append((src, exact, bool(ok)))
+    return spark.createDataFrame(
+        out, "source string, exact_median_ntok int, within_bound boolean"
+    )
+
+
+_ORACLE_KLL_BY_SOURCE = """
+WITH lens AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT source, n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM lens
+)
+SELECT source, n_tok AS exact_median_ntok, TRUE AS within_bound
+FROM ranked WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+"""
+
+
 _ORACLE_KLL = """
 WITH lens AS (
   SELECT CAST(len(string_split(text, ' ')) AS INT) AS n_tok FROM documents
@@ -417,6 +477,10 @@ CATALOG: dict[str, QuerySpec] = {
     "tdigest_ntok_quantiles": QuerySpec(
         q_tdigest_ntok_quantiles, _ORACLE_KLL,
         "t-digest n_tok quantiles within k1-scale error envelope vs exact",
+    ),
+    "kll_quantiles_by_source": QuerySpec(
+        q_kll_quantiles_by_source, _ORACLE_KLL_BY_SOURCE,
+        "grouped build: a KLL per source in one job; medians within bound",
     ),
     "build_invariance": QuerySpec(
         None, None, "placeholder replaced below"
