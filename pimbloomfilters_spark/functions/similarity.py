@@ -269,6 +269,23 @@ def ivf_centroids(df: DataFrame, vec_col: str = "embedding",
     return cents
 
 
+def save_centroids(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist a trained IVF coarse quantizer as parquet (centroid_id,
+    vector) — the train-once/probe-many production pattern: one training job
+    writes the quantizer, every later search job loads it instead of
+    re-running Lloyd iterations over the corpus."""
+    rows = [(i, [float(x) for x in centroids[i]])
+            for i in range(centroids.shape[0])]
+    spark.createDataFrame(rows, "centroid_id int, vector array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> np.ndarray:
+    """Load a quantizer written by ``save_centroids`` (ordered, (n, dim))."""
+    rows = spark.read.parquet(path).orderBy("centroid_id").collect()
+    return np.array([r["vector"] for r in rows], dtype=np.float64)
+
+
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_centroids: int = 16, nprobe: int = 3, iters: int = 5,

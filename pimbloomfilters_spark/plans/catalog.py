@@ -252,6 +252,67 @@ FROM big GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 10
 """
 
 
+def q_theta_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix via theta-sketch set algebra —
+    'how much do my data sources repeat each other' as a pipeline signal.
+    One grouped build (a theta sketch of the source's distinct token BIGRAMS,
+    map-side partials, blob-only shuffle), then all source-pair
+    intersection/union estimates driver-side from the tiny sketches. Gate
+    exactness: each source holds ~10^2-10^3 distinct bigrams < k=4096, so
+    every sketch is in exact mode (theta=1, all hashes retained) and the
+    estimates ARE the exact set sizes — at real scale the same query returns
+    estimates within the published theta bounds instead."""
+    from itertools import combinations
+
+    from ..operators import build_sketch_grouped
+    from ..sketches.base import sketch_from_bytes
+
+    tt = token_table(spark, sf_dir)
+    code = F.zip_with(
+        "tokens",
+        F.slice("tokens", 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
+        lambda a, b: a.cast("long") * F.lit(4294967296) + b.cast("long"),
+    )
+    big = (
+        tt.select("source", F.explode(code).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+    )
+    theta = functools.partial(make_sketch, "theta", k=4096)
+    rows = build_sketch_grouped(big, ["source"], "bigram", theta).collect()
+    sks = {r["source"]: sketch_from_bytes(bytes(r["sketch"])) for r in rows}
+    out = []
+    for a, b in combinations(sorted(sks), 2):
+        inter = int(round(sks[a].intersection_estimate(sks[b])))
+        uni = int(round(sks[a].union(sks[b]).estimate()))
+        if inter > 0:
+            out.append((a, b, inter, uni, inter * 10000 // uni))
+    return spark.createDataFrame(
+        out,
+        "source_a string, source_b string, inter bigint, uni bigint, jaccard_bp int",
+    )
+
+
+_ORACLE_THETA_SOURCES = TOKENS_ORACLE_CTE + """
+, big AS (
+  SELECT DISTINCT t1.source,
+         CAST(t1.token_id AS BIGINT) * 4294967296 + t2.token_id AS bigram
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+),
+sizes AS (SELECT source, count(*) AS sz FROM big GROUP BY source),
+ipairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+  FROM big a JOIN big b ON a.bigram = b.bigram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+       CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS INT) AS jaccard_bp
+FROM ipairs
+JOIN sizes sa ON sa.source = ipairs.source_a
+JOIN sizes sb ON sb.source = ipairs.source_b
+"""
+
+
 def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries complement of the CMS query: same exact top-10, with the
     MG one-sided UNDER-estimate guarantees (est <= true, true - est <= N/(k+1),
@@ -469,6 +530,10 @@ CATALOG: dict[str, QuerySpec] = {
     "cms_bigram_heavy_hitters": QuerySpec(
         q_cms_bigram_heavy_hitters, _ORACLE_CMS_BIGRAM,
         "token-bigram (LM n-gram) top-10 via CMS: one-sided error within eps*N",
+    ),
+    "theta_source_similarity": QuerySpec(
+        q_theta_source_similarity, _ORACLE_THETA_SOURCES,
+        "cross-source bigram-set overlap via grouped theta sketches, exact",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,

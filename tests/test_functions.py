@@ -379,3 +379,20 @@ def test_decontaminate_flags_planted_contamination(spark):
            for r in dedup.decontaminate(train, test).collect()}
     assert (1, 100) in got and got[(1, 100)] >= 1
     assert (2, 100) not in got
+
+
+def test_ivf_centroid_save_load_roundtrip(spark, tmp_path, sf_dir):
+    """Train-once/probe-many: a persisted quantizer reloads bit-identically
+    and yields the same ivf_topk results as the in-memory one."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    cents = similarity.ivf_centroids(emb, n_centroids=8, iters=2)
+    path = str(tmp_path / "quantizer")
+    similarity.save_centroids(spark, cents, path)
+    back = similarity.load_centroids(spark, path)
+    assert np.array_equal(back, cents)
+    q = emb.limit(5)
+    a = {(r["query_id"], r["neighbor_id"], r["rank"])
+         for r in similarity.ivf_topk(emb, q, k=3, centroids=cents).collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"])
+         for r in similarity.ivf_topk(emb, q, k=3, centroids=back).collect()}
+    assert a == b and len(a) > 0
