@@ -82,6 +82,18 @@ def main() -> int:
                                        "and headline statistic")
     i.add_argument("--sketch", required=True)
 
+    d = sub.add_parser(
+        "decontaminate",
+        help="flag training docs sharing winnowing fingerprints with a "
+             "benchmark set; writes (train_doc_id, test_doc_id, n_shared)")
+    d.add_argument("--train", required=True, help="training corpus parquet")
+    d.add_argument("--test", required=True, help="benchmark/eval parquet")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--window", type=int, default=16)
+    d.add_argument("--w", type=int, default=8)
+    d.add_argument("--min-shared", type=int, default=1)
+    d.add_argument("--out", required=True)
+
     args = ap.parse_args()
 
     if args.cmd == "inspect":
@@ -113,6 +125,21 @@ def main() -> int:
     from pimbloomfilters_spark.sketches import make_sketch, sketch_from_bytes
 
     spark = SparkSession.builder.appName(f"pbf-{args.cmd}").getOrCreate()
+
+    if args.cmd == "decontaminate":
+        from pimbloomfilters_spark.functions.dedup import decontaminate
+
+        out = decontaminate(
+            spark.read.parquet(args.train), spark.read.parquet(args.test),
+            text_col=args.text_col, window=args.window, w=args.w,
+            min_shared=args.min_shared,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "contaminated_pairs": n}))
+        spark.stop()
+        return 0
+
     df = spark.read.parquet(args.input)
 
     if args.cmd in ("build", "build-grouped"):

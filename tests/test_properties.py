@@ -174,3 +174,27 @@ def test_netpbm_truncated_payload_rejected(cut):
 
         with _pytest.raises(ValueError):
             multimodal.decode_netpbm(blob[:-cut])
+
+
+@settings(max_examples=40, deadline=None)
+@given(idx=st.lists(st.integers(min_value=0, max_value=(1 << 14) - 1),
+                    min_size=0, max_size=400, unique=True),
+       rho=st.lists(st.integers(min_value=1, max_value=51), min_size=400,
+                    max_size=400))
+def test_hll_payload_roundtrip_any_registers(idx, rho):
+    """Sparse/dense HLL serialization round-trips for ARBITRARY register
+    states (the format self-describes by first byte; register values <= 61
+    can never alias the sparse tag)."""
+    import numpy as np
+
+    from pimbloomfilters_spark.sketches import HyperLogLog, sketch_from_bytes
+
+    h = HyperLogLog(p=14)
+    for i, j in enumerate(idx):
+        h._regs[j] = rho[i]
+    back = sketch_from_bytes(h.to_bytes())
+    assert np.array_equal(back._regs, h._regs)
+    # legacy raw payload path
+    h2 = HyperLogLog(p=14)
+    h2.set_data(h._regs.tobytes())
+    assert np.array_equal(h2._regs, h._regs)
