@@ -5,6 +5,7 @@ from .stream_build import (
     sketch_stream_query,
     windowed_distinct_stream,
     windowed_heavy_hitters_stream,
+    windowed_quantiles_stream,
 )
 
 __all__ = [
@@ -13,5 +14,6 @@ __all__ = [
     "sharded_dedup_stream",
     "windowed_distinct_stream",
     "windowed_heavy_hitters_stream",
+    "windowed_quantiles_stream",
     "dedup_stream_query",
 ]

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -288,6 +289,77 @@ def windowed_heavy_hitters_stream(
         _update,
         outputStructType=_HH_OUT,
         stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+_QT_OUT = StructType([
+    StructField("window_start", TimestampType()),
+    StructField("p50", DoubleType()),
+    StructField("p95", DoubleType()),
+    StructField("n_rows", LongType()),
+])
+_QT_STATE = StructType(
+    [StructField("kll", BinaryType()), StructField("n_rows", LongType())]
+)
+
+
+def windowed_quantiles_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    kll_k: int = 200,
+) -> DataFrame:
+    """Per-event-time-window streaming quantiles (p50/p95) via a KLL sketch
+    held as GroupState — completes the streaming trio next to distinct (HLL)
+    and heavy hitters (Misra–Gries). Window state is evicted once the
+    watermark passes window_end + watermark (EventTimeTimeout), so the state
+    store stays bounded; each update re-emits the window's current estimates
+    (update mode). Estimates carry KLL's O(1/k) normalized rank error."""
+    from ..sketches import KLLSketch
+
+    window_ms = _duration_ms(window)
+    watermark_ms = _duration_ms(watermark)
+
+    with_window = (
+        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn("_w", F.window(F.col(ts_col), window).getField("start"))
+        .withColumn("_v", F.col(value_col).cast("double"))
+        .select("_w", "_v", ts_col)
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (wstart,) = key
+        if state.exists:
+            blob, n = state.get
+            kll = sketch_from_bytes(bytes(blob))
+        else:
+            kll, n = KLLSketch(k=kll_k), 0
+        for pdf in pdfs:
+            vals = pdf["_v"].to_numpy(dtype=np.float64)
+            kll.insert_bulk(vals)
+            n += len(vals)
+        state.update((kll.to_bytes(), n))
+        end_ms = int(pd.Timestamp(wstart).value // 1_000_000) + window_ms
+        state.setTimeoutTimestamp(end_ms + watermark_ms)
+        yield pd.DataFrame({
+            "window_start": [wstart],
+            "p50": [kll.quantile(0.5)],
+            "p95": [kll.quantile(0.95)],
+            "n_rows": [n],
+        })
+
+    return with_window.groupBy("_w").applyInPandasWithState(
+        _update,
+        outputStructType=_QT_OUT,
+        stateStructType=_QT_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -330,3 +330,34 @@ def test_sharded_dedup_stream_ttl_readmits(spark, tmp_path_factory):
     got = spark.read.parquet(out_dir)
     assert got.count() == 1000, "key not re-admitted after TTL"
     assert got.distinct().count() == 500
+
+
+def test_windowed_quantiles_stream(spark, tmp_path_factory):
+    """Streaming per-window quantiles: a planted distribution (uniform
+    0..999 per 30-min window) must report p50/p95 within KLL's rank-error
+    band in every window."""
+    from pimbloomfilters_spark.streaming import windowed_quantiles_stream
+
+    data_dir = str(tmp_path_factory.mktemp("qt_in"))
+    rows = []
+    for m in range(60):
+        ts = f"2024-01-01 10:{m:02d}:00"
+        rows += [(ts, float((m * 97 + j) % 1000)) for j in range(50)]
+    spark.createDataFrame(rows, "ts string, v double") \
+        .coalesce(2).write.mode("overwrite").parquet(data_dir)
+
+    stream = spark.readStream.schema("ts string, v double").parquet(data_dir)
+    out = windowed_quantiles_stream(
+        stream, "ts", "v", window="30 minutes", watermark="1 hour", kll_k=200)
+    q = (out.writeStream.format("memory").queryName("qt_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    res = spark.sql(
+        "select window_start, max(n_rows) n, max_by(p50, n_rows) p50, "
+        "max_by(p95, n_rows) p95 from qt_stream group by 1").collect()
+    assert len(res) == 2  # two 30-minute windows
+    for r in res:
+        assert r["n"] == 1500
+        # uniform 0..999: p50 ~ 500, p95 ~ 950; KLL k=200 band ~ 1.5% + slack
+        assert abs(r["p50"] - 500) <= 60, r
+        assert abs(r["p95"] - 950) <= 60, r
