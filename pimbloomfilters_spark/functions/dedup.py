@@ -30,6 +30,14 @@ from ..hashing import splitmix64, xxh64_u64
 _GAMMA = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 stream increment
 
 
+def _check_gram_n(n: int) -> None:
+    """Driver-side guard: packing supports n <= 8 bytes. Raising here gives
+    an immediate ValueError at plan-build time instead of a wrapped Spark
+    task failure after cluster resources were spent."""
+    if not (1 <= n <= 8):
+        raise ValueError(f"char n-gram width must be 1..8 bytes, got {n}")
+
+
 def _batch_distinct_grams(texts: list, n: int):
     """Distinct packed char n-grams for EVERY doc of a batch in one
     vectorized pass (no per-doc Python):
@@ -152,6 +160,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
     signatures, so a downstream exact-Jaccard verify needs NO second pass
     over the corpus (packing is a bijection for n <= 8, so intersection /
     union sizes over packed grams equal those over gram strings exactly)."""
+    _check_gram_n(n)
 
     def _sig(batches):
         for b in batches:
@@ -293,6 +302,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
     the whole batch, one xxh64 pass, then per-bit votes for every doc at once
     via ``np.add.reduceat`` over the (grams x 64) bit matrix. Docs shorter
     than n get simhash 0 (empty gram set)."""
+    _check_gram_n(n)
 
     def _sim(batches):
         bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))

@@ -199,6 +199,30 @@ ORDER BY cnt DESC, token_id ASC LIMIT 10
 """
 
 
+def _bigram_codes():
+    """array<long> of in-doc token-bigram codes ``a*2^32 + b`` (exact in
+    int64 for int32 token ids). zip_with against the 1-shifted slice pads
+    the tail with ONE null per doc — callers filter it — so no pair ever
+    crosses a document boundary. Shared by the CMS-bigram and theta-overlap
+    gates: the encoding must stay identical on both or they desynchronize."""
+    return F.zip_with(
+        "tokens",
+        F.slice("tokens", 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
+        lambda a, b: a.cast("long") * F.lit(4294967296) + b.cast("long"),
+    )
+
+
+def _bigram_oracle_cte(select_cols: str = "", distinct: bool = False) -> str:
+    """The SQL twin of ``_bigram_codes`` as a CTE fragment appended to
+    TOKENS_ORACLE_CTE (same a*2^32+b coding, same doc-boundary rule)."""
+    return f"""
+, big AS (
+  SELECT {"DISTINCT " if distinct else ""}{select_cols}
+         CAST(t1.token_id AS BIGINT) * 4294967296 + t2.token_id AS bigram
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+)"""
+
+
 def q_cms_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-BIGRAM heavy hitters — the n-gram language-model count a
     training pipeline runs over the token table. Bigrams are formed
@@ -209,13 +233,8 @@ def q_cms_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy) + booleans asserting the CMS estimate brackets each count
     within eps*N — one-sided error, the published CMS contract."""
     tt = token_table(spark, sf_dir)
-    code = F.zip_with(
-        "tokens",
-        F.slice("tokens", 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
-        lambda a, b: a.cast("long") * F.lit(4294967296) + b.cast("long"),
-    )
     big = (
-        tt.select(F.explode(code).alias("bigram"))
+        tt.select(F.explode(_bigram_codes()).alias("bigram"))
         .filter(F.col("bigram").isNotNull())  # zip_with pads the tail
     )
     sk, _ = build_sketch(
@@ -239,11 +258,7 @@ def q_cms_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_CMS_BIGRAM = TOKENS_ORACLE_CTE + """
-, big AS (
-  SELECT CAST(t1.token_id AS BIGINT) * 4294967296 + t2.token_id AS bigram
-  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-)
+_ORACLE_CMS_BIGRAM = TOKENS_ORACLE_CTE + _bigram_oracle_cte() + """
 SELECT CAST(bigram // 4294967296 AS INT) AS tok_a,
        CAST(bigram % 4294967296 AS INT) AS tok_b,
        CAST(count(*) AS BIGINT) AS cnt,
@@ -268,13 +283,8 @@ def q_theta_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sketches.base import sketch_from_bytes
 
     tt = token_table(spark, sf_dir)
-    code = F.zip_with(
-        "tokens",
-        F.slice("tokens", 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
-        lambda a, b: a.cast("long") * F.lit(4294967296) + b.cast("long"),
-    )
     big = (
-        tt.select("source", F.explode(code).alias("bigram"))
+        tt.select("source", F.explode(_bigram_codes()).alias("bigram"))
         .filter(F.col("bigram").isNotNull())
     )
     theta = functools.partial(make_sketch, "theta", k=4096)
@@ -292,13 +302,9 @@ def q_theta_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_THETA_SOURCES = TOKENS_ORACLE_CTE + """
-, big AS (
-  SELECT DISTINCT t1.source,
-         CAST(t1.token_id AS BIGINT) * 4294967296 + t2.token_id AS bigram
-  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-),
-sizes AS (SELECT source, count(*) AS sz FROM big GROUP BY source),
+_ORACLE_THETA_SOURCES = TOKENS_ORACLE_CTE \
+    + _bigram_oracle_cte("t1.source,", distinct=True) + """
+, sizes AS (SELECT source, count(*) AS sz FROM big GROUP BY source),
 ipairs AS (
   SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
   FROM big a JOIN big b ON a.bigram = b.bigram AND a.source < b.source

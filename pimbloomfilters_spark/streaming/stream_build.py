@@ -344,6 +344,9 @@ def windowed_quantiles_stream(
             kll, n = KLLSketch(k=kll_k), 0
         for pdf in pdfs:
             vals = pdf["_v"].to_numpy(dtype=np.float64)
+            # nulls arrive as NaN and would sort to the top of the KLL
+            # buffers, permanently poisoning the window's upper quantiles
+            vals = vals[np.isfinite(vals)]
             kll.insert_bulk(vals)
             n += len(vals)
         state.update((kll.to_bytes(), n))
@@ -420,12 +423,19 @@ def sharded_dedup_stream(
     shard_size_bits = (1 << size2) // n_shards
     n_words = shard_size_bits // 64
     out_schema = StructType([StructField(key_col, LongType())])
-    state_schema = _ST([
-        _SF("bitmap", BinaryType()),      # current generation
-        _SF("bitmap_prev", BinaryType()),  # previous generation (TTL only)
-        _SF("gen_start_ms", LongType()),
-        _SF("n_seen", LongType()),
-    ])
+    # ttl_ms=None keeps the original 2-field state schema so pre-TTL
+    # checkpoints restart cleanly (Spark rejects a state-schema change on
+    # resume); the TTL variant is a NEW query shape with its own schema
+    if ttl_ms is None:
+        state_schema = _ST([_SF("bitmap", BinaryType()),
+                            _SF("n_seen", LongType())])
+    else:
+        state_schema = _ST([
+            _SF("bitmap", BinaryType()),       # current generation
+            _SF("bitmap_prev", BinaryType()),  # previous generation
+            _SF("gen_start_ms", LongType()),
+            _SF("n_seen", LongType()),
+        ])
     empty = b""
 
     def _positions(vals: np.ndarray, base: int) -> tuple[np.ndarray, np.ndarray]:
@@ -440,14 +450,19 @@ def sharded_dedup_stream(
             return
         (shard,) = key
         now = state.getCurrentProcessingTimeMs() if ttl_ms is not None else 0
+        prev = None
         if state.exists:
-            blob, blob_prev, gen_start, n_seen = state.get
+            if ttl_ms is None:
+                blob, n_seen = state.get
+                gen_start = 0
+            else:
+                blob, blob_prev, gen_start, n_seen = state.get
+                prev = (np.frombuffer(bytes(blob_prev), dtype=np.uint64).copy()
+                        if blob_prev else None)
             words = np.frombuffer(bytes(blob), dtype=np.uint64).copy()
-            prev = (np.frombuffer(bytes(blob_prev), dtype=np.uint64).copy()
-                    if blob_prev else None)
         else:
-            words, prev, gen_start, n_seen = \
-                np.zeros(n_words, dtype=np.uint64), None, now, 0
+            words, gen_start, n_seen = \
+                np.zeros(n_words, dtype=np.uint64), now, 0
         if ttl_ms is not None and now - gen_start >= ttl_ms:
             # rotate; two+ TTLs idle -> both generations are stale
             prev = None if now - gen_start >= 2 * ttl_ms else words
@@ -459,10 +474,14 @@ def sharded_dedup_stream(
             vals = pd.unique(pdf[key_col].to_numpy())  # in-batch exact dedup
             vals = np.asarray(vals, dtype=np.int64)
             w, bits = _positions(vals, base)
-            hit = (words[w] & bits) != 0
+            # a key is seen iff ALL k bits are set in ONE generation —
+            # OR-ing per-position hits across generations before the
+            # all-reduce would count bits-split-across-generations as a
+            # (false) member and drop first occurrences far above p = FPR
+            seen = ((words[w] & bits) != 0).reshape(-1, nb_hash).all(axis=1)
             if prev is not None:
-                hit |= (prev[w] & bits) != 0
-            seen = hit.reshape(-1, nb_hash).all(axis=1)
+                seen |= ((prev[w] & bits) != 0).reshape(
+                    -1, nb_hash).all(axis=1)
             fresh = vals[~seen]
             if fresh.size:  # reuse the probe positions for the insert
                 fw = w.reshape(-1, nb_hash)[~seen].ravel()
@@ -470,12 +489,14 @@ def sharded_dedup_stream(
                 np.bitwise_or.at(words, fw, fbits)
                 n_seen += int(fresh.size)
                 out.append(fresh)
-        state.update((
-            words.tobytes(),
-            prev.tobytes() if prev is not None else empty,
-            int(gen_start), int(n_seen),
-        ))
-        if ttl_ms is not None:
+        if ttl_ms is None:
+            state.update((words.tobytes(), int(n_seen)))
+        else:
+            state.update((
+                words.tobytes(),
+                prev.tobytes() if prev is not None else empty,
+                int(gen_start), int(n_seen),
+            ))
             state.setTimeoutDuration(2 * ttl_ms)
         if out:
             yield pd.DataFrame({key_col: np.concatenate(out)})

@@ -396,3 +396,13 @@ def test_ivf_centroid_save_load_roundtrip(spark, tmp_path, sf_dir):
     b = {(r["query_id"], r["neighbor_id"], r["rank"])
          for r in similarity.ivf_topk(emb, q, k=3, centroids=back).collect()}
     assert a == b and len(a) > 0
+
+
+def test_gram_width_guard_raises_driver_side(spark):
+    """n > 8 must fail fast at plan-build time (driver-side ValueError),
+    not as a wrapped Spark task failure mid-job."""
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="1..8"):
+        dedup.minhash_signatures(df, n=9)
+    with pytest.raises(ValueError, match="1..8"):
+        dedup.simhash_signatures(df, n=0)
