@@ -38,6 +38,57 @@ def _check_gram_n(n: int) -> None:
         raise ValueError(f"char n-gram width must be 1..8 bytes, got {n}")
 
 
+def _batch_distinct_list_shingles(col, shingle: int):
+    """Distinct packed token-id shingles for every row of an Arrow LIST
+    batch column — the tokens-array twin of ``_batch_distinct_grams``.
+    One flat pass over the Arrow buffers (never per-row Python):
+
+    - values/offsets come straight off the list array (zero-copy);
+    - every length-``shingle`` sliding window over the flat values, windows
+      crossing a row boundary masked out;
+    - windows packed base-2^32: an exact BIJECTION shingle <-> uint64 for
+      shingle <= 2 over int32 token ids (the same ``a*2^32 + b`` coding the
+      relational bigram queries use), so distinct packed shingles == distinct
+      shingle tuples and intersections count tuple-intersections exactly;
+    - per-row distinct via one lexsort.
+
+    Returns (packed, starts, doc_idx) with the same contract as
+    ``_batch_distinct_grams``. Null token arrays behave as empty.
+    """
+    if not (1 <= shingle <= 2):
+        raise ValueError(
+            f"token shingle width must be 1 or 2 (base-2^32 packing), got {shingle}")
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    vals = np.asarray(col.values, dtype=np.int64)
+    # a sliced batch's offsets needn't start at 0; normalize to the window
+    vals = vals[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    rows = len(lens)
+    if vals.size < shingle:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    if vals.size and (vals.min() < 0 or vals.max() >= 1 << 32):
+        raise ValueError("token ids must be in [0, 2^32) for shingle packing")
+    w = np.lib.stride_tricks.sliding_window_view(vals, shingle)
+    packed = np.zeros(w.shape[0], dtype=np.uint64)
+    for i in range(shingle):
+        packed = (packed << np.uint64(32)) | w[:, i].astype(np.uint64)
+    pos = np.arange(w.shape[0], dtype=np.int64)
+    doc = np.repeat(np.arange(rows, dtype=np.int64), lens)[:w.shape[0]]
+    valid = pos + shingle <= offs[1:][doc]
+    packed, doc = packed[valid], doc[valid]
+    if packed.size == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    order = np.lexsort((packed, doc))
+    doc, packed = doc[order], packed[order]
+    keep = np.r_[True, (doc[1:] != doc[:-1]) | (packed[1:] != packed[:-1])]
+    doc, packed = doc[keep], packed[keep]
+    starts = np.r_[0, np.flatnonzero(doc[1:] != doc[:-1]) + 1]
+    return packed, starts, doc[starts]
+
+
 def _batch_distinct_grams(texts: list, n: int):
     """Distinct packed char n-grams for EVERY doc of a batch in one
     vectorized pass (no per-doc Python):
@@ -142,6 +193,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 
 
 # ------------------------------------------------------------- MinHash
+def _minhash_record_batch(ids, rows: int, packed, starts, doc_idx,
+                          num_hashes: int, seed: int, with_grams: bool):
+    """Assemble one output RecordBatch from a batch's distinct-gram runs —
+    shared by the char-gram and token-shingle signature passes. The j-th
+    hash of gram g is ``splitmix64(xxh64(g, seed) + j*gamma)`` (splitmix64
+    parallel streams: one base xxh64 pass + one cheap mix per stream); the
+    per-doc minimum of each stream is one ``np.minimum.reduceat`` over the
+    doc runs. Rows without grams get the all-MAX signature (empty set)."""
+    sig = np.full((rows, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    if packed.size:
+        h0 = xxh64_u64(packed, seed)
+        with np.errstate(over="ignore"):
+            for j in range(num_hashes):
+                hj = splitmix64(h0 + _GAMMA * np.uint64(j))
+                sig[doc_idx, j] = np.minimum.reduceat(hj, starts).view(np.int64)
+    offsets = np.arange(0, (rows + 1) * num_hashes, num_hashes, dtype=np.int32)
+    sig_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(sig.ravel()))
+    cols, names = [ids, sig_col], ["doc_id", "sig"]
+    if with_grams:
+        # per-row gram counts -> list offsets (rows w/o grams: empty)
+        cnt = np.zeros(rows, dtype=np.int64)
+        if packed.size:
+            cnt[doc_idx] = np.diff(np.r_[starts, packed.size])
+        goff = np.zeros(rows + 1, dtype=np.int32)
+        np.cumsum(cnt, out=goff[1:])
+        cols.append(pa.ListArray.from_arrays(
+            pa.array(goff), pa.array(packed.view(np.int64))))
+        names.append("grams")
+    return pa.RecordBatch.from_arrays(cols, names=names)
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
                        num_hashes: int = 64, seed: int = 7,
                        with_grams: bool = False) -> DataFrame:
@@ -164,42 +246,48 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
 
     def _sig(batches):
         for b in batches:
-            ids = b.column(0)
             texts = b.column(1).to_pylist()
-            rows = len(texts)
-            sig = np.full((rows, num_hashes), np.iinfo(np.int64).max,
-                          dtype=np.int64)
             packed, starts, doc_idx = _batch_distinct_grams(texts, n)
-            if packed.size:
-                h0 = xxh64_u64(packed, seed)
-                with np.errstate(over="ignore"):
-                    for j in range(num_hashes):
-                        hj = splitmix64(h0 + _GAMMA * np.uint64(j))
-                        sig[doc_idx, j] = np.minimum.reduceat(
-                            hj, starts).view(np.int64)
-            offsets = np.arange(0, (rows + 1) * num_hashes, num_hashes,
-                                dtype=np.int32)
-            sig_col = pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(sig.ravel()))
-            cols = [ids, sig_col]
-            names = ["doc_id", "sig"]
-            if with_grams:
-                # per-row gram counts -> list offsets (rows w/o grams: empty)
-                cnt = np.zeros(rows, dtype=np.int64)
-                if packed.size:
-                    cnt[doc_idx] = np.diff(np.r_[starts, packed.size])
-                goff = np.zeros(rows + 1, dtype=np.int32)
-                np.cumsum(cnt, out=goff[1:])
-                cols.append(pa.ListArray.from_arrays(
-                    pa.array(goff), pa.array(packed.view(np.int64))))
-                names.append("grams")
-            yield pa.RecordBatch.from_arrays(cols, names=names)
+            yield _minhash_record_batch(b.column(0), len(texts), packed,
+                                        starts, doc_idx, num_hashes, seed,
+                                        with_grams)
 
     id_type = dict(df.dtypes)["doc_id"]
     schema = f"doc_id {id_type}, sig array<long>"
     if with_grams:
         schema += ", grams array<long>"
     return df.select("doc_id", text_col).mapInArrow(_sig, schema)
+
+
+def minhash_signatures_tokens(df: DataFrame, tokens_col: str = "tokens",
+                              shingle: int = 2, num_hashes: int = 64,
+                              seed: int = 7,
+                              with_grams: bool = False) -> DataFrame:
+    """(doc_id, sig array<long>): MinHash over distinct token-id SHINGLES of
+    a pre-tokenized ``tokens array<int>`` column — the dedup pass that runs
+    directly on the north-rule input table without re-reading text. Same
+    hashing/banding machinery as the char-gram path; grams are packed
+    ``a*2^32 + b`` shingle codes (bijection for shingle <= 2), flattened
+    zero-copy off the Arrow list buffers. ``with_grams=True`` emits the
+    sorted distinct shingle codes so the exact-Jaccard verify needs no
+    second corpus scan."""
+    if not (1 <= shingle <= 2):  # fail at plan-build time, not mid-job
+        raise ValueError(
+            f"token shingle width must be 1 or 2 (base-2^32 packing), got {shingle}")
+
+    def _sig(batches):
+        for b in batches:
+            col = b.column(1)
+            packed, starts, doc_idx = _batch_distinct_list_shingles(col, shingle)
+            yield _minhash_record_batch(b.column(0), len(col), packed,
+                                        starts, doc_idx, num_hashes, seed,
+                                        with_grams)
+
+    id_type = dict(df.dtypes)["doc_id"]
+    schema = f"doc_id {id_type}, sig array<long>"
+    if with_grams:
+        schema += ", grams array<long>"
+    return df.select("doc_id", tokens_col).mapInArrow(_sig, schema)
 
 
 def minhash_lsh_candidates(sig_df: DataFrame, bands: int = 16) -> DataFrame:
@@ -253,6 +341,28 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     exactly."""
     sigs = minhash_signatures(df, text_col, n, num_hashes,
                               with_grams=True).cache()
+    return _near_dup_from_sigs(sigs, threshold, bands)
+
+
+def token_minhash_near_dup_pairs(df: DataFrame, tokens_col: str = "tokens",
+                                 shingle: int = 2, threshold: float = 0.7,
+                                 num_hashes: int = 64,
+                                 bands: int = 32) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over distinct token-id shingles —
+    ``minhash_near_dup_pairs`` for the pre-tokenized north-rule table
+    (w-shingling, Broder 1997, over token ids instead of chars). Same
+    LSH-candidates -> prefilter -> candidate-only exact verify composition,
+    same one-scan property, same ~1e-7 per-pair miss probability at t=0.7."""
+    sigs = minhash_signatures_tokens(df, tokens_col, shingle, num_hashes,
+                                     with_grams=True).cache()
+    return _near_dup_from_sigs(sigs, threshold, bands)
+
+
+def _near_dup_from_sigs(sigs: DataFrame, threshold: float,
+                        bands: int) -> DataFrame:
+    """Shared tail of the two MinHash near-dup paths: banding candidates,
+    signature-agreement prefilter, exact Jaccard verify over the packed-gram
+    arrays the SAME scan emitted. ``sigs`` must carry (doc_id, sig, grams)."""
     cands = minhash_lsh_candidates(sigs.select("doc_id", "sig"), bands)
     # signature prefilter: estimated jaccard = fraction of agreeing minhash
     # slots; drop candidates estimated far below threshold before the exact

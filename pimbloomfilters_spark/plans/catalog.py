@@ -212,7 +212,8 @@ def _bigram_codes():
     )
 
 
-def _bigram_oracle_cte(select_cols: str = "", distinct: bool = False) -> str:
+def _bigram_oracle_cte(select_cols: str = "", distinct: bool = False,
+                       where: str = "") -> str:
     """The SQL twin of ``_bigram_codes`` as a CTE fragment appended to
     TOKENS_ORACLE_CTE (same a*2^32+b coding, same doc-boundary rule)."""
     return f"""
@@ -220,6 +221,7 @@ def _bigram_oracle_cte(select_cols: str = "", distinct: bool = False) -> str:
   SELECT {"DISTINCT " if distinct else ""}{select_cols}
          CAST(t1.token_id AS BIGINT) * 4294967296 + t2.token_id AS bigram
   FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  {where}
 )"""
 
 
@@ -316,6 +318,44 @@ SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
 FROM ipairs
 JOIN sizes sa ON sa.source = ipairs.source_a
 JOIN sizes sb ON sb.source = ipairs.source_b
+"""
+
+
+def q_token_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the PRE-TOKENIZED table: MinHash/LSH on distinct
+    token-id bigram shingles (w-shingling), candidates exact-verified —
+    output hash-equal to the exact shingle-Jaccard pair set. The tokens-
+    payload twin of ``minhash_near_dup``: no text re-read, one scan of the
+    (doc_id, tokens) table. Capped at 500 docs like every pairwise gate
+    (the 31-word synthetic vocabulary makes exact pairwise verification
+    quadratic-degenerate; the OPERATOR is uncapped)."""
+    from ..functions import dedup
+
+    # cast ids to long UP FRONT: the pair orientation rule doc_a < doc_b
+    # must be numeric to match the oracle ("120" < "8" as strings)
+    tt = (token_table(spark, sf_dir)
+          .withColumn("doc_id", F.col("doc_id").cast("long"))
+          .filter(F.col("doc_id") < 500))
+    return dedup.token_minhash_near_dup_pairs(tt, threshold=0.7).select(
+        "doc_a", "doc_b", "jaccard")
+
+
+_ORACLE_TOKEN_MINHASH = TOKENS_ORACLE_CTE \
+    + _bigram_oracle_cte("t1.doc_id,", distinct=True,
+                         where="WHERE t1.doc_id < 500") + """
+, sizes AS (SELECT doc_id, count(*) AS sz FROM big GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM big a JOIN big b USING (bigram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+       i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.7
 """
 
 
@@ -540,6 +580,11 @@ CATALOG: dict[str, QuerySpec] = {
     "theta_source_similarity": QuerySpec(
         q_theta_source_similarity, _ORACLE_THETA_SOURCES,
         "cross-source bigram-set overlap via grouped theta sketches, exact",
+    ),
+    "token_minhash_near_dup": QuerySpec(
+        q_token_minhash_near_dup, _ORACLE_TOKEN_MINHASH,
+        "MinHash/LSH near-dup over token-id bigram shingles of the "
+        "pre-tokenized table; hash-equal to exact shingle Jaccard",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,

@@ -406,3 +406,46 @@ def test_gram_width_guard_raises_driver_side(spark):
         dedup.minhash_signatures(df, n=9)
     with pytest.raises(ValueError, match="1..8"):
         dedup.simhash_signatures(df, n=0)
+
+
+def test_token_minhash_near_dup_equals_exact(spark, sf_dir):
+    """Token-shingle MinHash pairs == exact shingle-Jaccard pairs on the
+    derived token table (the property the token_minhash_near_dup gate
+    relies on), and agree pair-for-pair on a hand-built frame."""
+    from pimbloomfilters_spark.sources.tables import token_table
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5, 6]), (2, [1, 2, 3, 4, 5, 9]),
+         (3, [7]), (4, []), (5, [1, 2, 3, 4, 5, 6])],
+        "doc_id long, tokens array<int>")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           dedup.token_minhash_near_dup_pairs(df, threshold=0.5).collect()}
+    # doc1 bigrams {12,23,34,45,56}, doc2 {12,23,34,45,59}: j = 4/6
+    assert set(got) == {(1, 2), (1, 5), (2, 5)}
+    assert abs(got[(1, 2)] - 4 / 6) < 1e-12 and got[(1, 5)] == 1.0
+
+    tt = (token_table(spark, sf_dir)
+          .withColumn("doc_id", F.col("doc_id").cast("long"))
+          .filter(F.col("doc_id") < 200))
+    lsh = {(r["doc_a"], r["doc_b"]) for r in
+           dedup.token_minhash_near_dup_pairs(tt, threshold=0.7).collect()}
+    big = tt.select(
+        "doc_id",
+        F.explode(F.zip_with(
+            "tokens",
+            F.slice("tokens", 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
+            lambda a, b: a.cast("long") * F.lit(4294967296) + b.cast("long"),
+        )).alias("bigram"),
+    ).filter("bigram is not null").distinct()
+    sizes = big.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = big.select(F.col("doc_id").alias("doc_a"), "bigram")
+    b = big.select(F.col("doc_id").alias("doc_b"), "bigram")
+    inter = (a.join(b, "bigram").filter("doc_a < doc_b")
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             inter.join(sa, "doc_a").join(sb, "doc_b")
+             .filter(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")) >= 0.7)
+             .collect()}
+    assert lsh == exact and exact

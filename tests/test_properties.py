@@ -198,3 +198,42 @@ def test_hll_payload_roundtrip_any_registers(idx, rho):
     h2 = HyperLogLog(p=14)
     h2.set_data(h._regs.tobytes())
     assert np.array_equal(h2._regs, h._regs)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(
+    st.one_of(st.none(),
+              st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+                       min_size=0, max_size=20)),
+    min_size=1, max_size=12),
+    shingle=st.integers(min_value=1, max_value=2))
+def test_batch_distinct_list_shingles_matches_reference(rows, shingle):
+    """The Arrow list-array shingle extractor (zero-copy flatten, boundary
+    masking, base-2^32 packing, lexsort dedup) must agree with a per-row
+    Python reference for arbitrary token arrays including empty, null, and
+    full-range uint32 ids — and must honor Arrow slice offsets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pimbloomfilters_spark.functions.dedup import _batch_distinct_list_shingles
+
+    arr = pa.array(rows, type=pa.list_(pa.int64()))
+    for sliced in (arr, arr.slice(1) if len(rows) > 1 else arr):
+        packed, starts, doc_idx = _batch_distinct_list_shingles(sliced, shingle)
+        offset = len(rows) - len(sliced)
+        expect = {}
+        for i in range(len(sliced)):
+            toks = rows[offset + i]
+            s = set()
+            for p in range(len(toks or []) - shingle + 1):
+                v = 0
+                for t in toks[p:p + shingle]:
+                    v = (v << 32) | t
+                s.add(v)
+            if s:
+                expect[i] = s
+        bounds = list(starts) + [len(packed)]
+        got = {int(d): {int(x) for x in packed[bounds[j]:bounds[j + 1]]}
+               for j, d in enumerate(doc_idx)}
+        assert got == expect
