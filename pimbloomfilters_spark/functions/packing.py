@@ -1,0 +1,87 @@
+"""Sequence packing: assign pre-tokenized documents to fixed-length context
+windows — the step between a deduplicated corpus and a training dataloader.
+
+Contract (the standard concat-and-split used by LLM pretraining pipelines):
+within each group (``by``, default ``source``), documents are concatenated in
+``order_col`` order into one token stream, which is then cut every
+``ctx_len`` tokens. Each document therefore occupies a contiguous token span
+``[start_off, start_off + n_tok)`` of its group's stream and overlaps windows
+``first_win .. last_win``. The assignment is fully deterministic and
+relational — no UDF anywhere, every column integer math inside whole-stage
+codegen.
+
+Scale shape: ONE shuffle, by the group key (the window function's
+partitioning). Each group sorts locally by ``order_col`` — a sort Spark
+spills if needed. A pathologically large single group serializes into one
+task; the standard fix is a finer group key (e.g. source x date-shard) chosen
+so groups fit a task, which also matches how training shards are actually
+laid out. Cross-group window ids are independent by construction, so groups
+never synchronize.
+
+Integer-exactness: offsets use Spark's integral ``div``/DuckDB's ``//``, not
+double division — window ids stay exact past 2^53 tokens per group (a 100 TB
+corpus in one group is ~2.5e13 tokens; doubles would still be exact there,
+but the integral path removes the cliff entirely).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def pack_context_windows(df: DataFrame, ctx_len: int,
+                         n_tok_col: str = "n_tok",
+                         order_col: str = "doc_id",
+                         by: str = "source") -> DataFrame:
+    """Per-document window assignment: (order_col, by, n_tok, start_off,
+    first_win, last_win, n_windows). ``n_windows`` is the number of
+    ctx_len-token windows this document's span overlaps (documents crossing
+    a window boundary count toward every window they touch; a zero-token
+    document occupies no window)."""
+    L = int(ctx_len)
+    if L <= 0:
+        raise ValueError(f"ctx_len must be positive, got {ctx_len}")
+    w = Window.partitionBy(by).orderBy(order_col)
+    out = (
+        df.select(order_col, by, F.col(n_tok_col).alias("n_tok"))
+        .withColumn("start_off",
+                    (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long"))
+        .withColumn("first_win", F.expr(f"start_off div {L}"))
+        .withColumn("last_win", F.expr(f"(start_off + n_tok - 1) div {L}"))
+    )
+    return out.select(
+        order_col, by, "n_tok", "start_off",
+        F.when(F.col("n_tok") > 0, F.col("first_win")).alias("first_win"),
+        F.when(F.col("n_tok") > 0, F.col("last_win")).alias("last_win"),
+        F.when(F.col("n_tok") > 0,
+               (F.col("last_win") - F.col("first_win") + 1).cast("int"))
+         .otherwise(F.lit(0)).alias("n_windows"),
+    )
+
+
+def packing_stats(df: DataFrame, ctx_len: int,
+                  n_tok_col: str = "n_tok",
+                  order_col: str = "doc_id",
+                  by: str = "source") -> DataFrame:
+    """Per-group packing summary: (by, n_docs, total_tok, n_windows,
+    tail_padding, boundary_docs). ``n_windows`` counts ctx_len windows the
+    group's stream fills (last one padded by ``tail_padding`` tokens);
+    ``boundary_docs`` counts documents split across a window boundary — the
+    quantity attention-mask / best-fit packing schemes try to minimize."""
+    L = int(ctx_len)
+    p = pack_context_windows(df, L, n_tok_col, order_col, by)
+    return (
+        p.groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tok"),
+            F.sum(F.when(F.col("n_windows") > 1, 1).otherwise(0))
+             .cast("long").alias("boundary_docs"),
+        )
+        .withColumn("n_windows", F.expr(f"(total_tok + {L} - 1) div {L}"))
+        .withColumn("tail_padding",
+                    (F.col("n_windows") * L - F.col("total_tok")).cast("long"))
+        .select(by, "n_docs", "total_tok", "n_windows", "tail_padding",
+                "boundary_docs")
+    )

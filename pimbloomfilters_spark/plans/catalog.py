@@ -359,6 +359,83 @@ WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.7
 """
 
 
+_PACK_CTX = 256  # tokens per training context window for the packing gates
+
+
+def _packed_tokens(spark: SparkSession, sf_dir: str):
+    from ..functions.packing import pack_context_windows
+
+    tt = token_table(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("long"))  # numeric concat order
+    return pack_context_windows(tt, _PACK_CTX)
+
+
+def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: per-document context-window spans
+    (start offset in the per-source token stream, first/last window id,
+    windows overlapped) for ctx_len=256 — deterministic integer math, fully
+    relational, reproduced exactly in SQL."""
+    return _packed_tokens(spark, sf_dir)
+
+
+_ORACLE_PACK = TOKENS_ORACLE_CTE + f"""
+, nt AS (
+  SELECT doc_id, source, CAST(count(*) AS INT) AS n_tok FROM tok GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok
+              AS BIGINT) AS start_off
+  FROM nt
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tok, start_off,
+       start_off // {_PACK_CTX} AS first_win,
+       (start_off + n_tok - 1) // {_PACK_CTX} AS last_win,
+       CAST((start_off + n_tok - 1) // {_PACK_CTX}
+            - start_off // {_PACK_CTX} + 1 AS INT) AS n_windows
+FROM p
+"""
+
+
+def q_pack_windows_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source packing summary: windows filled, tail padding, documents
+    split across a window boundary (what best-fit packing minimizes)."""
+    from ..functions.packing import packing_stats
+
+    tt = token_table(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return packing_stats(tt, _PACK_CTX)
+
+
+_ORACLE_PACK_STATS = TOKENS_ORACLE_CTE + f"""
+, nt AS (
+  SELECT doc_id, source, CAST(count(*) AS INT) AS n_tok FROM tok GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok
+              AS BIGINT) AS start_off
+  FROM nt
+),
+d AS (
+  SELECT source, n_tok,
+         (start_off + n_tok - 1) // {_PACK_CTX} - start_off // {_PACK_CTX} + 1
+             AS n_windows
+  FROM p
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tok,
+       (CAST(sum(n_tok) AS BIGINT) + {_PACK_CTX} - 1) // {_PACK_CTX}
+           AS n_windows,
+       (CAST(sum(n_tok) AS BIGINT) + {_PACK_CTX} - 1) // {_PACK_CTX}
+           * {_PACK_CTX} - CAST(sum(n_tok) AS BIGINT) AS tail_padding,
+       CAST(sum(CASE WHEN n_windows > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS boundary_docs
+FROM d GROUP BY source
+"""
+
+
 def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries complement of the CMS query: same exact top-10, with the
     MG one-sided UNDER-estimate guarantees (est <= true, true - est <= N/(k+1),
@@ -585,6 +662,15 @@ CATALOG: dict[str, QuerySpec] = {
         q_token_minhash_near_dup, _ORACLE_TOKEN_MINHASH,
         "MinHash/LSH near-dup over token-id bigram shingles of the "
         "pre-tokenized table; hash-equal to exact shingle Jaccard",
+    ),
+    "pack_windows": QuerySpec(
+        q_pack_windows, _ORACLE_PACK,
+        "concat-and-split sequence packing: per-doc context-window spans, "
+        "exact integer math",
+    ),
+    "pack_windows_stats": QuerySpec(
+        q_pack_windows_stats, _ORACLE_PACK_STATS,
+        "per-source packing summary: windows, tail padding, boundary docs",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,

@@ -449,3 +449,31 @@ def test_token_minhash_near_dup_equals_exact(spark, sf_dir):
              .filter(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")) >= 0.7)
              .collect()}
     assert lsh == exact and exact
+
+
+def test_pack_context_windows_contract(spark):
+    """Concat-and-split packing: spans, boundary crossers, zero-token docs
+    occupy no window, and the per-source summary reconciles."""
+    from pimbloomfilters_spark.functions.packing import (
+        pack_context_windows, packing_stats)
+
+    df = spark.createDataFrame(
+        [(1, "A", 5), (2, "A", 3), (3, "A", 0), (10, "A", 4), (7, "B", 9)],
+        "doc_id long, source string, n_tok int")
+    got = {r["doc_id"]: r.asDict() for r in
+           pack_context_windows(df, 4).collect()}
+    assert (got[1]["start_off"], got[1]["first_win"], got[1]["last_win"],
+            got[1]["n_windows"]) == (0, 0, 1, 2)  # crosses one boundary
+    assert (got[2]["start_off"], got[2]["n_windows"]) == (5, 1)
+    assert (got[3]["first_win"], got[3]["last_win"], got[3]["n_windows"]) == \
+        (None, None, 0)  # zero tokens -> no window
+    assert (got[10]["start_off"], got[10]["first_win"], got[10]["n_windows"]) \
+        == (8, 2, 1)
+    assert (got[7]["start_off"], got[7]["n_windows"]) == (0, 3)  # B: own stream
+    st = {r["source"]: r.asDict() for r in packing_stats(df, 4).collect()}
+    assert (st["A"]["total_tok"], st["A"]["n_windows"], st["A"]["tail_padding"],
+            st["A"]["boundary_docs"]) == (12, 3, 0, 1)
+    assert (st["B"]["n_windows"], st["B"]["tail_padding"]) == (3, 3)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pack_context_windows(df, 0)
