@@ -255,3 +255,44 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
     return df.select("doc_id", text_col).mapInArrow(
         _fp, "doc_id long, fp_rank int, fingerprint long"
     )
+
+
+# ------------------------------------------------------- token repetition
+def token_bigram_codes(tokens_col: str = "tokens") -> Column:
+    """array<long> of in-doc token-bigram codes ``a*2^32 + b`` (exact in
+    int64 for int32 ids). zip_with against the 1-shifted slice pads the tail
+    with ONE null per doc — callers filter it — so no pair crosses a
+    document boundary. The JVM twin of the packed shingles the token-MinHash
+    pass computes in numpy: both use the same coding so their outputs can be
+    joined/compared directly."""
+    return F.zip_with(
+        tokens_col,
+        F.slice(tokens_col, 2,
+                F.greatest(F.size(tokens_col) - 1, F.lit(0))),
+        lambda a, b: a.cast("long") * F.lit(4294967296) + b.cast("long"),
+    )
+
+
+def token_repetition_stats(df: DataFrame,
+                           tokens_col: str = "tokens") -> DataFrame:
+    """(doc_id, n_bigrams, n_distinct, dup_frac): within-document repetition
+    — the fraction of token bigrams that are repeats of an earlier bigram in
+    the same document (the Gopher-style "repeated n-gram" quality signal; a
+    looping generation or boilerplate-heavy page scores high). Documents
+    with fewer than 2 tokens are dropped (no bigram exists).
+
+    Pure codegen expressions — per-document array ops, no shuffle at all and
+    no Python: the scan streams through whole-stage codegen, so this is
+    embarrassingly parallel at any corpus size."""
+    codes = F.filter(token_bigram_codes(tokens_col), lambda x: x.isNotNull())
+    return (
+        df.select(
+            "doc_id",
+            F.size(codes).alias("n_bigrams"),
+            F.size(F.array_distinct(codes)).alias("n_distinct"),
+        )
+        .filter(F.col("n_bigrams") > 0)
+        .withColumn(
+            "dup_frac",  # int/int in ONE division -> bit-identical cross-engine
+            (F.col("n_bigrams") - F.col("n_distinct")) / F.col("n_bigrams"))
+    )

@@ -200,16 +200,12 @@ ORDER BY cnt DESC, token_id ASC LIMIT 10
 
 
 def _bigram_codes():
-    """array<long> of in-doc token-bigram codes ``a*2^32 + b`` (exact in
-    int64 for int32 token ids). zip_with against the 1-shifted slice pads
-    the tail with ONE null per doc — callers filter it — so no pair ever
-    crosses a document boundary. Shared by the CMS-bigram and theta-overlap
-    gates: the encoding must stay identical on both or they desynchronize."""
-    return F.zip_with(
-        "tokens",
-        F.slice("tokens", 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
-        lambda a, b: a.cast("long") * F.lit(4294967296) + b.cast("long"),
-    )
+    """In-doc token-bigram codes — the shared coding (text.token_bigram_codes)
+    used by the CMS-bigram, theta-overlap, and repetition gates: the encoding
+    must stay identical across them or they desynchronize."""
+    from ..functions.text import token_bigram_codes
+
+    return token_bigram_codes("tokens")
 
 
 def _bigram_oracle_cte(select_cols: str = "", distinct: bool = False,
@@ -433,6 +429,25 @@ SELECT source,
        CAST(sum(CASE WHEN n_windows > 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS boundary_docs
 FROM d GROUP BY source
+"""
+
+
+def q_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-bigram fraction over the pre-tokenized
+    table — the repetition quality filter, exact vs SQL."""
+    from ..functions.text import token_repetition_stats
+
+    tt = token_table(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return token_repetition_stats(tt)
+
+
+_ORACLE_TOKEN_REP = TOKENS_ORACLE_CTE + _bigram_oracle_cte("t1.doc_id,") + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       CAST(count(DISTINCT bigram) AS INT) AS n_distinct,
+       (count(*) - count(DISTINCT bigram)) * 1.0 / count(*) AS dup_frac
+FROM big GROUP BY doc_id
 """
 
 
@@ -671,6 +686,10 @@ CATALOG: dict[str, QuerySpec] = {
     "pack_windows_stats": QuerySpec(
         q_pack_windows_stats, _ORACLE_PACK_STATS,
         "per-source packing summary: windows, tail padding, boundary docs",
+    ),
+    "token_repetition": QuerySpec(
+        q_token_repetition, _ORACLE_TOKEN_REP,
+        "within-doc repeated-bigram fraction (repetition quality filter)",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,

@@ -477,3 +477,20 @@ def test_pack_context_windows_contract(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         pack_context_windows(df, 0)
+
+
+def test_token_repetition_stats(spark):
+    """Repeated-bigram fraction: a looping doc scores high, a unique-bigram
+    doc scores 0, sub-2-token docs are dropped."""
+    from pimbloomfilters_spark.functions.text import token_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, [7, 8, 7, 8, 7, 8]),   # bigrams: 78,87,78,87,78 -> 3 dup of 5
+         (2, [1, 2, 3, 4]),          # all distinct -> 0
+         (3, [5]), (4, [])],         # no bigram -> dropped
+        "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r.asDict() for r in token_repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["n_bigrams"], got[1]["n_distinct"]) == (5, 2)
+    assert abs(got[1]["dup_frac"] - 3 / 5) < 1e-12
+    assert got[2]["dup_frac"] == 0.0
