@@ -145,6 +145,75 @@ def cosine_pairs_blocked(df: DataFrame, vec_col: str = "embedding",
     )
 
 
+def cosine_topk_blocked(df: DataFrame, queries: DataFrame, k: int = 5,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        exclude_self: bool = True, n_blocks: int = 8,
+                        q_blocks: int = 4) -> DataFrame:
+    """(query_id, neighbor_id, rank): EXACT top-k by cosine for a LARGE
+    query set — the scale path ``cosine_topk_bruteforce`` documents: nothing
+    is collected to the driver and the query matrix never rides a closure,
+    so the query side can be millions of rows.
+
+    Asymmetric block-pair decomposition: corpus rows hash into ``n_blocks``
+    blocks, queries into ``q_blocks``; every (data block, query block) cell
+    is one cogroup task GEMMing its two slices and emitting only its LOCAL
+    top-k per query. The global top-k per query is the top-k of the union of
+    its per-data-block top-ks, finished by a tiny window sort over
+    queries x n_blocks x k rows. Shuffle: each corpus row is replicated
+    q_blocks times, each query n_blocks times — choose blocks so slices fit
+    a task (the memory knob), exactly like ``cosine_pairs_blocked``.
+
+    Ties break by neighbor id ascending (deterministic across engines)."""
+    data = (
+        df.select(F.col(id_col).alias("_did"), F.col(vec_col).alias("_dv"))
+        .withColumn("_db", F.pmod(F.xxhash64(F.col("_did")),
+                                  F.lit(n_blocks)).cast("int"))
+        .withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))))
+    )
+    # fresh aliases on BOTH sides: queries often derive from the corpus
+    # DataFrame, and a self-cogroup with shared attribute lineage gets its
+    # right side over-pruned on Spark 4.1 (same fix as cosine_pairs_blocked)
+    qs = (
+        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .withColumn("_qb", F.pmod(F.xxhash64(F.col("_qid")),
+                                  F.lit(q_blocks)).cast("int"))
+        .withColumn("_db", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+    )
+
+    def _gemm_topk(dpdf, qpdf):
+        import pandas as pd
+
+        if dpdf.empty or qpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
+        dids = dpdf["_did"].to_numpy(dtype=np.int64)
+        qids = qpdf["_qid"].to_numpy(dtype=np.int64)
+        dm = _normalize(np.stack(dpdf["_dv"].to_numpy()).astype(np.float64))
+        qm = _normalize(np.stack(qpdf["_qv"].to_numpy()).astype(np.float64))
+        sims = dm @ qm.T  # (rows, queries)
+        if exclude_self:
+            sims[dids[:, None] == qids[None, :]] = -np.inf
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        qcol = np.repeat(qids[None, :], kk, axis=0).ravel()
+        ncol = dids[top].ravel()
+        scol = np.take_along_axis(sims, top, axis=0).ravel()
+        keep = scol > -np.inf
+        return pd.DataFrame({"query_id": qcol[keep], "neighbor_id": ncol[keep],
+                             "cos": scol[keep]})
+
+    local = (
+        data.groupBy("_db", "_qb")
+        .cogroup(qs.groupBy("_db", "_qb"))
+        .applyInPandas(_gemm_topk, "query_id long, neighbor_id long, cos double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def cosine_pairs_bruteforce(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id",
                             threshold: float = 0.95) -> DataFrame:

@@ -313,12 +313,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(emb, queries, k=5)
 
 
-_ORACLE_TOPK = """
+def _topk_oracle(max_qid: int) -> str:
+    return f"""
 WITH sims AS (
   SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
          list_cosine_similarity(q.embedding, d.embedding) AS cos
   FROM embeddings q JOIN embeddings d ON q.vec_id != d.vec_id
-  WHERE q.vec_id < 10
+  WHERE q.vec_id < {max_qid}
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
@@ -328,6 +329,19 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
 """
+
+
+_ORACLE_TOPK = _topk_oracle(10)
+
+
+def q_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k for a LARGER query set through the asymmetric block-pair
+    GEMM (no driver collect, no closure-shipped query matrix) — the scale
+    path for query sets too big to broadcast. Same ranks as the SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    return similarity.cosine_topk_blocked(emb, queries, k=5,
+                                          n_blocks=5, q_blocks=3)
 
 
 # Recall floor for the ANN gate. The corpus embeddings are near-orthogonal
@@ -588,6 +602,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         "SimHash banding contract: sound vs exact popcount, complete at <=3"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, _ORACLE_EMB_NEAR_DUP,
                                     "embedding cosine near-dup pairs >= 0.4"),
+    "cosine_topk_blocked": QuerySpec(
+        q_cosine_topk_blocked, _topk_oracle(50),
+        "exact top-k for a large query set: asymmetric block-pair GEMM, "
+        "no driver collect"),
     "cosine_topk": QuerySpec(q_cosine_topk, _ORACLE_TOPK,
                              "exact brute-force cosine top-5 neighbors"),
     "ann_lsh_topk": QuerySpec(

@@ -494,3 +494,15 @@ def test_token_repetition_stats(spark):
     assert (got[1]["n_bigrams"], got[1]["n_distinct"]) == (5, 2)
     assert abs(got[1]["dup_frac"] - 3 / 5) < 1e-12
     assert got[2]["dup_frac"] == 0.0
+
+
+def test_cosine_topk_blocked_equals_bruteforce(spark, emb):
+    """The asymmetric block-pair top-k (no driver collect) must return
+    exactly the broadcast brute-force ranks — the oracle-gate property."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+         similarity.cosine_topk_blocked(emb, queries, k=4,
+                                        n_blocks=3, q_blocks=2).collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+         similarity.cosine_topk_bruteforce(emb, queries, k=4).collect()}
+    assert a == b and len(a) == 20 * 4
