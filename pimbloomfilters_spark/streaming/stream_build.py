@@ -151,6 +151,44 @@ def sketch_stream_query(
     return writer.start()
 
 
+# TTL companions to the single-sketch snapshot: previous-generation blob +
+# generation-start timestamp, written atomically next to batch_N.bin. Only
+# the TTL'd dedup stream reads/writes these; the non-TTL paths are untouched.
+_PREV: dict[str, Sketch | None] = {}
+_GEN_START: dict[str, int] = {}
+
+
+def _persist_ttl_extras(checkpoint_dir: str, batch_id: int,
+                        prev: Sketch | None, gen_start_ms: int) -> None:
+    d = _state_dir(checkpoint_dir)
+    os.makedirs(d, exist_ok=True)
+    blob = prev.to_bytes() if prev is not None else b""
+    tmp = os.path.join(d, f".batch_{batch_id}.ttl.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(gen_start_ms.to_bytes(8, "little") + blob)
+    os.replace(tmp, os.path.join(d, f"batch_{batch_id:012d}.ttl"))
+    stale = sorted(f for f in os.listdir(d) if f.endswith(".ttl"))[:-2]
+    for f in stale:
+        try:
+            os.remove(os.path.join(d, f))
+        except OSError:
+            pass
+
+
+def _load_ttl_extras(checkpoint_dir: str,
+                     batch_id: int) -> tuple[Sketch | None, int]:
+    """(prev_generation, gen_start_ms) persisted with snapshot batch_id."""
+    path = os.path.join(_state_dir(checkpoint_dir),
+                        f"batch_{batch_id:012d}.ttl")
+    try:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+    except FileNotFoundError:
+        return None, 0
+    gen_start = int.from_bytes(raw[:8], "little")
+    return (sketch_from_bytes(raw[8:]) if len(raw) > 8 else None), gen_start
+
+
 def dedup_stream_query(
     stream_df: DataFrame,
     key_col: str,
@@ -159,6 +197,7 @@ def dedup_stream_query(
     size2: int = 26,
     nb_hash: int = 8,
     name: str = "bloom_dedup",
+    ttl_ms: int | None = None,
 ):
     """Streaming drop-already-seen filter: every micro-batch is probed against
     a running Bloom filter of all keys seen so far; unseen rows are appended
@@ -173,14 +212,28 @@ def dedup_stream_query(
     against everything already emitted. A batch replayed after its parquet
     write but before the offset commit can still duplicate output rows —
     standard foreachBatch at-least-once for the sink side.
-    """
+
+    ``ttl_ms`` bounds memory on an unbounded key universe by rotating
+    generations (the same scheme as ``sharded_dedup_stream``): the filter
+    pair (current, previous) remembers a key for >= ttl and <= 2*ttl after
+    its generation started, then re-admits it. Each generation is a COMPLETE
+    filter for the keys first seen in it, so membership is the OR of two
+    independent probes — no bits-split-across-generations hazard. Rotation
+    state survives restarts via a sidecar snapshot (.ttl) written atomically
+    with each batch snapshot."""
     import functools as _ft
+    import time
 
     from ..operators.build import build_partials, merge_partial_rows
     from ..operators.probe import probe_key_column
     from ..sketches import make_sketch
 
     _resume_state(name, checkpoint_dir)
+    _PREV.pop(name, None), _GEN_START.pop(name, None)
+    if ttl_ms is not None and _PERSISTED_BATCH.get(name, -1) >= 0:
+        prev, gen_start = _load_ttl_extras(checkpoint_dir,
+                                           _PERSISTED_BATCH[name])
+        _PREV[name], _GEN_START[name] = prev, gen_start
     factory = _ft.partial(make_sketch, "bloom", size2=size2, nb_hash=nb_hash)
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
@@ -189,27 +242,40 @@ def dedup_stream_query(
         if batch_df.isEmpty():
             return
         seen = _RUNNING.get(name)
-        if seen is None:
-            fresh = batch_df
-        else:
-            fresh = probe_key_column(batch_df, seen, key_col).filter(
-                ~F.col("member")
-            ).drop("member")
+        prev, gen_start = _PREV.get(name), _GEN_START.get(name, 0)
+        if ttl_ms is not None:
+            now = int(time.time() * 1000)
+            if gen_start == 0:
+                gen_start = now  # first batch of a fresh query
+            elif now - gen_start >= ttl_ms:
+                # rotate; two+ TTLs idle -> both generations are stale
+                prev = None if now - gen_start >= 2 * ttl_ms else seen
+                seen, gen_start = None, now
+        fresh = batch_df
+        for gen in (seen, prev):
+            if gen is not None:
+                fresh = probe_key_column(fresh, gen, key_col).filter(
+                    ~F.col("member")
+                ).drop("member")
         # exact within-batch dedup (the filter only learns keys after the
         # whole batch); cross-batch dedup is the Bloom's job
         fresh = fresh.dropDuplicates([key_col]).persist()
-        if fresh.isEmpty():  # every key already seen: nothing to emit/learn
-            fresh.unpersist()
-            return
-        fresh.write.mode("append").parquet(out_path)
-        partial, _ = merge_partial_rows(
-            build_partials(fresh, key_col, factory).collect()
-        )
-        sk = partial if seen is None else seen.merge(partial)
-        _RUNNING[name] = sk
-        persist_sketch(checkpoint_dir, batch_id, sk)
-        _PERSISTED_BATCH[name] = batch_id
+        emitted = not fresh.isEmpty()
+        if emitted:
+            fresh.write.mode("append").parquet(out_path)
+            partial, _ = merge_partial_rows(
+                build_partials(fresh, key_col, factory).collect()
+            )
+            seen = partial if seen is None else seen.merge(partial)
         fresh.unpersist()
+        if seen is None:
+            return  # nothing learned yet and no rotation to record
+        _RUNNING[name] = seen
+        _PREV[name], _GEN_START[name] = prev, gen_start
+        persist_sketch(checkpoint_dir, batch_id, seen)
+        if ttl_ms is not None:
+            _persist_ttl_extras(checkpoint_dir, batch_id, prev, gen_start)
+        _PERSISTED_BATCH[name] = batch_id
 
     return (
         stream_df.writeStream.foreachBatch(_step)

@@ -361,3 +361,45 @@ def test_windowed_quantiles_stream(spark, tmp_path_factory):
         # uniform 0..999: p50 ~ 500, p95 ~ 950; KLL k=200 band ~ 1.5% + slack
         assert abs(r["p50"] - 500) <= 60, r
         assert abs(r["p95"] - 950) <= 60, r
+
+
+def test_dedup_stream_ttl_readmits_across_restart(spark, tmp_path_factory):
+    """foreachBatch dedup with rotating-generation TTL: duplicates inside the
+    TTL window are dropped — including across a query RESTART (the sidecar
+    snapshot restores the previous generation and rotation clock) — and a
+    key past 2*ttl is re-admitted."""
+    import time as _time
+
+    from pimbloomfilters_spark.streaming.stream_build import dedup_stream_query
+
+    data_dir = str(tmp_path_factory.mktemp("fbt_in"))
+    out_dir = str(tmp_path_factory.mktemp("fbt_out")) + "/result"
+    ckpt = str(tmp_path_factory.mktemp("fbt_ckpt"))
+    ttl_ms = 8_000
+
+    def _run():
+        stream = (spark.readStream.schema("id long")
+                  .option("maxFilesPerTrigger", 1).parquet(data_dir))
+        q = dedup_stream_query(stream, "id", out_dir, ckpt, size2=22,
+                               name="fb_ttl_dedup", ttl_ms=ttl_ms)
+        q.awaitTermination(120)
+
+    keys = spark.range(0, 500)
+    keys.coalesce(1).write.mode("append").parquet(data_dir)
+    keys.coalesce(1).write.mode("append").parquet(data_dir)
+    _run()
+    assert spark.read.parquet(out_dir).count() == 500, "dup within TTL leaked"
+
+    # RESTART within the TTL window: remembered state must survive
+    keys.coalesce(1).write.mode("append").parquet(data_dir)
+    _run()
+    assert spark.read.parquet(out_dir).count() == 500, \
+        "restart forgot keys inside TTL"
+
+    # past 2*TTL: both generations stale -> keys re-admitted on restart
+    _time.sleep(2 * ttl_ms / 1000 + 1.0)
+    keys.coalesce(1).write.mode("append").parquet(data_dir)
+    _run()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 1000, "key not re-admitted after TTL"
+    assert got.distinct().count() == 500
