@@ -60,6 +60,75 @@ def pack_context_windows(df: DataFrame, ctx_len: int,
     )
 
 
+def pack_bins_best_fit(df: DataFrame, ctx_len: int,
+                       n_tok_col: str = "n_tok",
+                       id_col: str = "doc_id",
+                       by: str = "source") -> DataFrame:
+    """(id_col, by, n_tok, bin_id): best-fit-decreasing bin packing WITHIN
+    each group — the no-boundary-crossing alternative to concat-and-split:
+    every bin holds whole documents totalling <= ctx_len tokens, so
+    attention never spans documents and no token is truncated. Documents
+    with n_tok > ctx_len are dropped (they cannot fit any bin; count them
+    upstream with a filter). Deterministic: docs are placed in
+    (n_tok desc, id asc) order, each into the fullest bin that still fits
+    (ties broken by the residual list's insertion order, itself
+    deterministic), so output is reproducible run to run.
+
+    Guarantees (classic any-fit analysis): every bin fits ctx_len by
+    construction, and at most ONE bin is <= half full — two such bins can't
+    coexist because the later one's first document would have fit the
+    earlier — so n_bins <= ceil(2*total/ctx_len) + 1 regardless of input
+    (BFD's asymptotic bound is the far tighter 11/9 OPT). The gate checks
+    both invariants.
+
+    Scale shape: one shuffle on the group key; packing is inherently
+    sequential per group (a greedy with state), so each group is one task —
+    size groups (e.g. source x shard) to fit, exactly like
+    ``pack_context_windows``. Within a group the placement loop is
+    O(docs x log bins) via a bisect over sorted residual capacities."""
+    import bisect
+
+    L = int(ctx_len)
+    if L <= 0:
+        raise ValueError(f"ctx_len must be positive, got {ctx_len}")
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf[pdf["n_tok"] <= L].sort_values(
+            ["n_tok", id_col], ascending=[False, True])
+        residuals: list[int] = []   # sorted ascending
+        res_bins: list[int] = []    # bin id aligned with residuals
+        next_bin = 0
+        assigned = []
+        for s in pdf["n_tok"].to_list():
+            i = bisect.bisect_left(residuals, s)
+            if i == len(residuals):  # nothing fits: open a bin
+                assigned.append(next_bin)
+                bisect.insort(residuals, L - s)
+                # insort on equal keys places AFTER existing ones; keep the
+                # aligned bin list consistent by re-deriving the index
+                j = bisect.bisect_right(residuals, L - s) - 1
+                res_bins.insert(j, next_bin)
+                next_bin += 1
+            else:
+                # best fit = smallest adequate residual; ties -> the bin
+                # listed first (lowest insertion position)
+                b, r = res_bins.pop(i), residuals.pop(i) - s
+                assigned.append(b)
+                j = bisect.bisect_left(residuals, r)
+                residuals.insert(j, r)
+                res_bins.insert(j, b)
+        out = pdf[[id_col, by, "n_tok"]].copy()
+        out["bin_id"] = pd.array(assigned, dtype="int64")
+        return out
+
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(id_col, by, F.col(n_tok_col).cast("int").alias("n_tok"))
+    return src.groupBy(by).applyInPandas(
+        _pack, f"{id_col} {id_type}, {by} string, n_tok int, bin_id long")
+
+
 def packing_stats(df: DataFrame, ctx_len: int,
                   n_tok_col: str = "n_tok",
                   order_col: str = "doc_id",

@@ -432,6 +432,72 @@ FROM d GROUP BY source
 """
 
 
+_BIN_CTX = 64  # bin capacity for the best-fit packing gate: the corpus has
+# n_tok in [10, 99], so some docs are oversize (dropped+counted) and bins
+# hold several docs — both branches of the packer execute
+
+
+def q_pack_bins_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing bin packing (no doc crosses a window boundary):
+    exact per-source counts plus the packer's contract booleans — every bin
+    fits the capacity, at most one bin is <= half full (any-fit invariant),
+    and n_bins <= ceil(2*total/L) + 1. The bin ASSIGNMENT is algorithm-
+    specific (not SQL-reproducible); its invariants + exact doc/token
+    accounting are."""
+    from ..functions.packing import pack_bins_best_fit
+
+    L = _BIN_CTX
+    tt = token_table(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    packed = pack_bins_best_fit(tt, L)
+    fills = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tok").alias("fill"))
+    caps = fills.groupBy("source").agg(
+        F.max("fill").alias("max_fill"),
+        F.count("*").alias("n_bins"),
+        F.sum(F.when(F.col("fill") * 2 <= L, 1).otherwise(0))
+         .alias("n_half_empty"),
+    )
+    per_src = packed.groupBy("source").agg(
+        F.count("*").alias("n_docs_packed"),
+        F.sum("n_tok").cast("long").alias("total_tok"),
+    )
+    oversize = (tt.filter(F.col("n_tok") > L).groupBy("source")
+                .agg(F.count("*").alias("n_oversize")))
+    return (
+        per_src.join(caps, "source")
+        .join(oversize, "source", "left")
+        .withColumn("n_oversize", F.coalesce("n_oversize", F.lit(0)))
+        .withColumn("lower_bound", F.expr(f"(total_tok + {L} - 1) div {L}"))
+        .select(
+            "source", "n_docs_packed", "n_oversize", "total_tok",
+            "lower_bound",
+            (F.col("max_fill") <= L).alias("capacity_ok"),
+            (F.col("n_half_empty") <= 1).alias("halffull_ok"),
+            (F.col("n_bins") <= F.expr(f"(2 * total_tok + {L} - 1) div {L}")
+             + 1).alias("bound_ok"),
+        )
+    )
+
+
+_ORACLE_PACK_BINS = TOKENS_ORACLE_CTE + f"""
+, nt AS (
+  SELECT doc_id, source, count(*) AS n_tok FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) FILTER (WHERE n_tok <= {_BIN_CTX}) AS BIGINT)
+           AS n_docs_packed,
+       CAST(count(*) FILTER (WHERE n_tok > {_BIN_CTX}) AS BIGINT)
+           AS n_oversize,
+       CAST(sum(n_tok) FILTER (WHERE n_tok <= {_BIN_CTX}) AS BIGINT)
+           AS total_tok,
+       (CAST(sum(n_tok) FILTER (WHERE n_tok <= {_BIN_CTX}) AS BIGINT)
+            + {_BIN_CTX} - 1) // {_BIN_CTX} AS lower_bound,
+       TRUE AS capacity_ok, TRUE AS halffull_ok, TRUE AS bound_ok
+FROM nt GROUP BY source
+"""
+
+
 def q_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-bigram fraction over the pre-tokenized
     table — the repetition quality filter, exact vs SQL."""
@@ -690,6 +756,11 @@ CATALOG: dict[str, QuerySpec] = {
     "token_repetition": QuerySpec(
         q_token_repetition, _ORACLE_TOKEN_REP,
         "within-doc repeated-bigram fraction (repetition quality filter)",
+    ),
+    "pack_bins_bfd": QuerySpec(
+        q_pack_bins_bfd, _ORACLE_PACK_BINS,
+        "best-fit-decreasing whole-doc bin packing: exact accounting + "
+        "any-fit contract booleans",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,

@@ -506,3 +506,28 @@ def test_cosine_topk_blocked_equals_bruteforce(spark, emb):
     b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
          similarity.cosine_topk_bruteforce(emb, queries, k=4).collect()}
     assert a == b and len(a) == 20 * 4
+
+
+def test_pack_bins_best_fit_invariants(spark):
+    """BFD packing: capacity respected, oversize docs dropped, at most one
+    bin <= half full per group, deterministic across runs."""
+    from pimbloomfilters_spark.functions.packing import pack_bins_best_fit
+
+    rows = [(i, "A", n) for i, n in enumerate(
+        [60, 60, 40, 40, 30, 30, 20, 20, 10, 10, 99])] + [(100, "B", 64)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    out = pack_bins_best_fit(df, 64).collect()
+    assert {r["doc_id"] for r in out} == set(range(10)) | {100}  # 99 dropped
+    fills: dict = {}
+    for r in out:
+        fills[(r["source"], r["bin_id"])] = \
+            fills.get((r["source"], r["bin_id"]), 0) + r["n_tok"]
+    assert all(v <= 64 for v in fills.values())
+    half = [k for k, v in fills.items() if k[0] == "A" and v * 2 <= 64]
+    assert len(half) <= 1
+    # total 320 tokens -> >= 5 bins; any-fit bound <= ceil(2*320/64)+1 = 11
+    n_bins_a = len({b for s, b in fills if s == "A"})
+    assert 5 <= n_bins_a <= 11
+    again = pack_bins_best_fit(df, 64).collect()
+    assert sorted((r["doc_id"], r["bin_id"]) for r in again) == \
+        sorted((r["doc_id"], r["bin_id"]) for r in out)

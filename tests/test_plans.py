@@ -209,3 +209,23 @@ def test_minhash_verify_single_scan_no_gram_aggregation(spark, sf_dir):
     # exactly one source scan shape: every consumer reads the cached
     # signature+grams frame (InMemoryTableScan), not a second parquet scan
     assert "ObjectHashAggregate" not in plan
+
+
+def test_token_repetition_no_shuffle(spark, sf_dir):
+    """The repetition filter is per-row array math — its plan must contain
+    NO Exchange at all (embarrassingly parallel scan)."""
+    from pimbloomfilters_spark.functions.text import token_repetition_stats
+
+    df = spark.createDataFrame([(1, [1, 2, 3])], "doc_id long, tokens array<int>")
+    assert "Exchange" not in _plan(token_repetition_stats(df))
+
+
+def test_pack_windows_single_exchange(spark):
+    """Sequence packing shuffles ONCE (on the group key for the window);
+    the offset/window-id math is codegen expressions above it."""
+    from pimbloomfilters_spark.functions.packing import pack_context_windows
+
+    df = spark.createDataFrame([(1, "A", 5)], "doc_id long, source string, n_tok int")
+    plan = _plan(pack_context_windows(df, 256))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
