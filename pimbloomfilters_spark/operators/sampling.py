@@ -70,3 +70,50 @@ def weighted_sample(df: DataFrame, k: int, key_col: str,
         .limit(k)
         .drop("_pri")
     )
+
+
+def mixture_sample(df: DataFrame, quotas: dict, key_col: str,
+                   stratum_col: str = "source") -> DataFrame:
+    """Dataset mixing by DOC quota: keep the first ``quotas[stratum]`` rows
+    of each stratum in deterministic md5-priority order (a per-stratum
+    uniform sample with heterogeneous sizes — the "sample source A at 2x
+    source B" knob of a training mixture). Strata absent from ``quotas``
+    contribute nothing. Quotas ride a broadcast join; one shuffle for the
+    per-stratum window."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(str(s), int(q)) for s, q in quotas.items()],
+        f"{stratum_col} string, _quota long")
+    w = Window.partitionBy(stratum_col).orderBy(_priority(key_col))
+    return (
+        df.join(F.broadcast(qdf), stratum_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
+def mixture_sample_tokens(df: DataFrame, budgets: dict, key_col: str,
+                          n_tok_col: str = "n_tok",
+                          stratum_col: str = "source") -> DataFrame:
+    """Dataset mixing by TOKEN budget — how LLM mixtures are actually
+    specified: within each stratum, walk rows in deterministic md5-priority
+    order and keep a row iff the tokens already kept before it are under
+    ``budgets[stratum]`` (so the budget-crossing row is included and every
+    stratum reaches >= its budget when it has enough tokens; the overshoot
+    is < one document). Deterministic and engine-exact: the order key is
+    md5 of the row key, the running total integer — the DuckDB oracle
+    reproduces the sample byte-for-byte. Same shapes as ``mixture_sample``:
+    broadcast quota join + one per-stratum window."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(str(s), int(b)) for s, b in budgets.items()],
+        f"{stratum_col} string, _budget long")
+    w = Window.partitionBy(stratum_col).orderBy(_priority(key_col))
+    return (
+        df.join(F.broadcast(qdf), stratum_col)
+        .withColumn("_before",
+                    F.sum(n_tok_col).over(w) - F.col(n_tok_col))
+        .filter(F.col("_before") < F.col("_budget"))
+        .drop("_before", "_budget")
+    )

@@ -498,6 +498,40 @@ FROM nt GROUP BY source
 """
 
 
+_MIX_BUDGETS = {"src0": 700, "src1": 400, "src2": 1000, "src3": 250}
+
+
+def q_mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by per-source TOKEN budget (how LLM mixtures are
+    specified): deterministic md5-priority walk per source, keep rows while
+    the running token total is under the source's budget; sources outside
+    the mixture contribute nothing. Byte-exact vs the SQL oracle."""
+    from ..operators.sampling import mixture_sample_tokens
+
+    tt = token_table(spark, sf_dir)
+    return mixture_sample_tokens(tt, _MIX_BUDGETS, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "n_tok")
+
+
+_ORACLE_MIXTURE = TOKENS_ORACLE_CTE + f"""
+, nt AS (
+  SELECT doc_id, source, CAST(count(*) AS INT) AS n_tok FROM tok GROUP BY 1, 2
+),
+b AS (
+  SELECT * FROM (VALUES {", ".join(f"('{s}', {v})" for s, v in _MIX_BUDGETS.items())})
+           AS t(source, budget)
+),
+q AS (
+  SELECT nt.doc_id, nt.source, nt.n_tok, b.budget,
+         sum(nt.n_tok) OVER (PARTITION BY nt.source
+             ORDER BY md5(CAST(nt.doc_id AS VARCHAR))) - nt.n_tok AS before_tok
+  FROM nt JOIN b USING (source)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tok
+FROM q WHERE before_tok < budget
+"""
+
+
 def q_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-bigram fraction over the pre-tokenized
     table — the repetition quality filter, exact vs SQL."""
@@ -761,6 +795,10 @@ CATALOG: dict[str, QuerySpec] = {
         q_pack_bins_bfd, _ORACLE_PACK_BINS,
         "best-fit-decreasing whole-doc bin packing: exact accounting + "
         "any-fit contract booleans",
+    ),
+    "mixture_sample_tokens": QuerySpec(
+        q_mixture_sample_tokens, _ORACLE_MIXTURE,
+        "per-source token-budget mixture sampling, byte-exact priorities",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,

@@ -531,3 +531,27 @@ def test_pack_bins_best_fit_invariants(spark):
     again = pack_bins_best_fit(df, 64).collect()
     assert sorted((r["doc_id"], r["bin_id"]) for r in again) == \
         sorted((r["doc_id"], r["bin_id"]) for r in out)
+
+
+def test_mixture_sampling(spark):
+    """Doc-quota and token-budget mixture sampling: quotas honored exactly,
+    budget-crossing doc included (overshoot < one doc), absent strata
+    excluded, deterministic."""
+    from pimbloomfilters_spark.operators.sampling import (
+        mixture_sample, mixture_sample_tokens)
+
+    rows = [(i, "A" if i < 10 else "B", 10 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    got = mixture_sample(df, {"A": 3, "B": 7}, "doc_id").collect()
+    by_src: dict = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["A"]) == 3 and len(by_src["B"]) == 7
+
+    tok = mixture_sample_tokens(df, {"A": 30}, "doc_id").collect()
+    assert {r["source"] for r in tok} == {"A"}
+    total = sum(r["n_tok"] for r in tok)
+    largest = max(r["n_tok"] for r in tok)
+    assert 30 <= total < 30 + largest  # crossed the budget by < one doc
+    again = mixture_sample_tokens(df, {"A": 30}, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in tok)
