@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language stopword profiles (public common words). The synthetic
 # corpus is English-ish; the heuristic is deterministic, not a classifier.
@@ -295,4 +295,36 @@ def token_repetition_stats(df: DataFrame,
         .withColumn(
             "dup_frac",  # int/int in ONE division -> bit-identical cross-engine
             (F.col("n_bigrams") - F.col("n_distinct")) / F.col("n_bigrams"))
+    )
+
+
+def tfidf_top_terms(tok_exploded: DataFrame, top: int = 5) -> DataFrame:
+    """(doc_id, token_id, rank): each document's ``top`` tokens by tf-idf —
+    the classic characteristic-term scoring over a (doc_id, token_id)
+    occurrence table (one row per token occurrence, e.g.
+    ``sources.tables.tokens_exploded``).
+
+    score = tf * ln(N / df); ties break by token_id ascending, so ranks are
+    fully deterministic. ln and the double multiply are bit-identical across
+    engines on identical integer inputs (same libm), so the ranking is
+    exactly oracle-checkable.
+
+    Scale shape: tf is one groupBy over (doc, token) — the only corpus-sized
+    shuffle; the document-frequency table is vocabulary-sized, aggregated
+    once and broadcast back, so the big side is never re-shuffled for the
+    join; the final window partitions per doc."""
+    n_docs = tok_exploded.select("doc_id").distinct().count()
+    tf = (tok_exploded.groupBy("doc_id", "token_id")
+          .agg(F.count("*").alias("tf")))
+    dfreq = (tok_exploded.select("doc_id", "token_id").distinct()
+             .groupBy("token_id").agg(F.count("*").alias("df")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token_id"))
+    return (
+        tf.join(F.broadcast(dfreq), "token_id")
+        .withColumn("score",
+                    F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("doc_id", "token_id", "rank")
     )

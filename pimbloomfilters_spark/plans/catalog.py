@@ -532,6 +532,35 @@ FROM q WHERE before_tok < budget
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's 5 most characteristic tokens by tf-idf over the
+    occurrence table — score = tf * ln(N/df), ties by token id. Ranks (not
+    raw doubles) are compared; both engines compute the identical
+    expression tree so the ranking is exact."""
+    from ..functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(tokens_exploded(spark, sf_dir), top=5)
+
+
+_ORACLE_TFIDF = TOKENS_ORACLE_CTE + """
+, nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+tf AS (SELECT doc_id, token_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token_id, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.token_id,
+         tf.tf * ln(CAST((SELECT n FROM nd) AS DOUBLE) / dfq.df) AS score
+  FROM tf JOIN dfq USING (token_id)
+),
+ranked AS (
+  SELECT doc_id, CAST(token_id AS INT) AS token_id,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, token_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-bigram fraction over the pre-tokenized
     table — the repetition quality filter, exact vs SQL."""
@@ -799,6 +828,10 @@ CATALOG: dict[str, QuerySpec] = {
     "mixture_sample_tokens": QuerySpec(
         q_mixture_sample_tokens, _ORACLE_MIXTURE,
         "per-source token-budget mixture sampling, byte-exact priorities",
+    ),
+    "tfidf_top_terms": QuerySpec(
+        q_tfidf_top_terms, _ORACLE_TFIDF,
+        "per-doc top-5 characteristic tokens by tf-idf, exact ranking",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,

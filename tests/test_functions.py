@@ -555,3 +555,21 @@ def test_mixture_sampling(spark):
     assert 30 <= total < 30 + largest  # crossed the budget by < one doc
     again = mixture_sample_tokens(df, {"A": 30}, "doc_id").collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in tok)
+
+
+def test_tfidf_top_terms(spark):
+    """tf-idf ranking: a token appearing in every doc scores 0 (never ranks
+    above a distinctive one); doc-specific tokens with higher tf rank first."""
+    from pimbloomfilters_spark.functions.text import tfidf_top_terms
+
+    rows = []
+    for d in range(4):
+        rows += [(d, 1)] * 3            # token 1 in every doc -> idf = 0
+        rows += [(d, 10 + d)] * 2       # unique token, tf 2
+        rows += [(d, 20 + d)]           # unique token, tf 1
+    tok = spark.createDataFrame(rows, "doc_id long, token_id int")
+    got = {}
+    for r in tfidf_top_terms(tok, top=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["token_id"]))
+    for d in range(4):
+        assert [t for _, t in sorted(got[d])] == [10 + d, 20 + d]
