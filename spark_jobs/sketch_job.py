@@ -94,6 +94,32 @@ def main() -> int:
     d.add_argument("--min-shared", type=int, default=1)
     d.add_argument("--out", required=True)
 
+    k = sub.add_parser(
+        "pack",
+        help="assign pre-tokenized docs to training context windows; "
+             "--mode split = concat-and-split spans, --mode bins = "
+             "best-fit whole-doc bins (no boundary crossing)")
+    k.add_argument("--input", required=True)
+    k.add_argument("--ctx-len", type=int, required=True)
+    k.add_argument("--mode", choices=["split", "bins"], default="split")
+    k.add_argument("--n-tok-col", default="n_tok")
+    k.add_argument("--id-col", default="doc_id")
+    k.add_argument("--by", default="source")
+    k.add_argument("--out", required=True)
+
+    m = sub.add_parser(
+        "mix",
+        help="deterministic per-source mixture sample; --budgets "
+             "'src0=700,src1=400' are token budgets (or doc quotas "
+             "with --by-docs)")
+    m.add_argument("--input", required=True)
+    m.add_argument("--budgets", required=True)
+    m.add_argument("--by-docs", action="store_true")
+    m.add_argument("--key-col", default="doc_id")
+    m.add_argument("--n-tok-col", default="n_tok")
+    m.add_argument("--stratum-col", default="source")
+    m.add_argument("--out", required=True)
+
     args = ap.parse_args()
 
     if args.cmd == "inspect":
@@ -141,6 +167,38 @@ def main() -> int:
         return 0
 
     df = spark.read.parquet(args.input)
+
+    if args.cmd == "pack":
+        from pimbloomfilters_spark.functions.packing import (
+            pack_bins_best_fit, pack_context_windows)
+
+        fn = pack_context_windows if args.mode == "split" else pack_bins_best_fit
+        kw = (dict(n_tok_col=args.n_tok_col, order_col=args.id_col, by=args.by)
+              if args.mode == "split"
+              else dict(n_tok_col=args.n_tok_col, id_col=args.id_col, by=args.by))
+        out = fn(df, args.ctx_len, **kw)
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "mode": args.mode, "rows": n}))
+        spark.stop()
+        return 0
+
+    if args.cmd == "mix":
+        from pimbloomfilters_spark.operators.sampling import (
+            mixture_sample, mixture_sample_tokens)
+
+        budgets = {s: int(v) for s, v in
+                   (kv.split("=") for kv in args.budgets.split(","))}
+        if args.by_docs:
+            out = mixture_sample(df, budgets, args.key_col, args.stratum_col)
+        else:
+            out = mixture_sample_tokens(df, budgets, args.key_col,
+                                        args.n_tok_col, args.stratum_col)
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "rows": n}))
+        spark.stop()
+        return 0
 
     if args.cmd in ("build", "build-grouped"):
         cfgs = {
