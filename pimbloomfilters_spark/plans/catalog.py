@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import build_sketch, probe_key_column
 from ..sketches import make_sketch
@@ -532,6 +532,72 @@ FROM q WHERE before_tok < budget
 """
 
 
+def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token collocations by pointwise mutual information over the
+    corpus bigram stream: pmi = ln(c_ab * N / (c_a * c_b)) with N the total
+    bigram count and c_a / c_b positional unigram margins (first/second
+    slot). Only bigrams seen >= 5 times rank (the standard noise floor —
+    hapax pairs otherwise dominate PMI). Ranks compared, not doubles; both
+    engines evaluate the identical expression tree. Shape: one explode ->
+    two vocabulary-sized margins broadcast back onto the bigram counts."""
+    from ..functions.text import token_bigram_codes
+
+    tt = token_table(spark, sf_dir)
+    big = (tt.select(F.explode(token_bigram_codes("tokens")).alias("bigram"))
+           .filter(F.col("bigram").isNotNull()))
+    cab = big.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    cab = cab.select(
+        F.expr("bigram div 4294967296").alias("tok_a"),  # integral: exact
+        F.expr("bigram % 4294967296").alias("tok_b"),    # past 2^53 too
+        "c_ab",
+    )
+    ca = cab.groupBy("tok_a").agg(F.sum("c_ab").alias("c_a"))
+    cb = cab.groupBy("tok_b").agg(F.sum("c_ab").alias("c_b"))
+    n = cab.agg(F.sum("c_ab")).collect()[0][0]
+    scored = (
+        cab.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ca), "tok_a").join(F.broadcast(cb), "tok_b")
+        .withColumn("pmi", F.log(F.col("c_ab").cast("double") * F.lit(float(n))
+                                 / (F.col("c_a") * F.col("c_b"))))
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("tok_a").cast("int").alias("tok_a"),
+                F.col("tok_b").cast("int").alias("tok_b"),
+                "c_ab", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_ORACLE_PMI = TOKENS_ORACLE_CTE + _bigram_oracle_cte() + """
+, cab AS (
+  SELECT CAST(bigram // 4294967296 AS BIGINT) AS tok_a,
+         CAST(bigram % 4294967296 AS BIGINT) AS tok_b,
+         count(*) AS c_ab
+  FROM big GROUP BY 1, 2
+),
+ca AS (SELECT tok_a, sum(c_ab) AS c_a FROM cab GROUP BY 1),
+cb AS (SELECT tok_b, sum(c_ab) AS c_b FROM cab GROUP BY 1),
+n AS (SELECT sum(c_ab) AS n FROM cab),
+scored AS (
+  SELECT cab.tok_a, cab.tok_b, cab.c_ab,
+         ln(CAST(cab.c_ab AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE)
+            / (ca.c_a * cb.c_b)) AS pmi
+  FROM cab JOIN ca USING (tok_a) JOIN cb USING (tok_b)
+  WHERE cab.c_ab >= 5
+),
+ranked AS (
+  SELECT CAST(tok_a AS INT) AS tok_a, CAST(tok_b AS INT) AS tok_b,
+         CAST(c_ab AS BIGINT) AS c_ab,
+         CAST(row_number() OVER (ORDER BY pmi DESC, tok_a ASC, tok_b ASC)
+              AS INT) AS rank
+  FROM scored
+)
+SELECT tok_a, tok_b, c_ab, rank FROM ranked WHERE rank <= 20
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each document's 5 most characteristic tokens by tf-idf over the
     occurrence table — score = tf * ln(N/df), ties by token id. Ranks (not
@@ -832,6 +898,10 @@ CATALOG: dict[str, QuerySpec] = {
     "tfidf_top_terms": QuerySpec(
         q_tfidf_top_terms, _ORACLE_TFIDF,
         "per-doc top-5 characteristic tokens by tf-idf, exact ranking",
+    ),
+    "pmi_top_bigrams": QuerySpec(
+        q_pmi_top_bigrams, _ORACLE_PMI,
+        "top-20 token collocations by PMI (count floor 5), exact ranking",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,
