@@ -522,10 +522,19 @@ def near_dup_clusters(ids: DataFrame, pairs: DataFrame,
 def decontaminate(train: DataFrame, test: DataFrame, text_col: str = "text",
                   window: int = 16, w: int = 8,
                   min_shared: int = 1) -> DataFrame:
-    """Benchmark decontamination: (train_doc_id, test_doc_id, n_shared) for
-    every training doc sharing >= ``min_shared`` winnowing fingerprints with
-    a test/benchmark doc — the standard train/eval overlap check an LLM data
-    pipeline runs before training.
+    """Benchmark decontamination: (train_doc_id, test_doc_id, n_shared,
+    est_overlap_chars) for every training doc sharing >= ``min_shared``
+    winnowing fingerprints with a test/benchmark doc — the standard
+    train/eval overlap check an LLM data pipeline runs before training.
+
+    ``est_overlap_chars`` inverts winnowing's expected density (~2/(w+1)
+    fingerprints per hash position): a single contiguous shared span of S
+    chars yields ~2*(S - window - w + 2)/(w+1) + 1 shared fingerprints, so
+    S_est = (n_shared - 1)*(w+1)/2 + window + w - 1 (integer math, exact in
+    SQL). It is a single-span heuristic — multiple disjoint quotes
+    under-estimate their total — useful for ranking hits by severity, not a
+    guarantee; the guarantee remains "any shared span >= window + w - 1
+    chars is flagged".
 
     Winnowing's guarantee (Schleimer-Wilkerson-Aiken 2003) makes this sound
     for verbatim contamination: ANY shared byte span of length >=
@@ -550,6 +559,8 @@ def decontaminate(train: DataFrame, test: DataFrame, text_col: str = "text",
         .groupBy("train_doc_id", "test_doc_id")
         .agg(F.count("*").alias("n_shared"))  # fingerprints are distinct/doc
         .filter(F.col("n_shared") >= min_shared)
+        .withColumn("est_overlap_chars", F.expr(
+            f"((n_shared - 1) * {w + 1}) div 2 + {window + w - 1}"))
     )
 
 

@@ -203,7 +203,9 @@ fps AS (
   FROM winmins WHERE pos <= n_h - {_WIN_W - 1}
 )
 SELECT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id,
-       CAST(count(*) AS BIGINT) AS n_shared
+       CAST(count(*) AS BIGINT) AS n_shared,
+       (count(*) - 1) * {_WIN_W + 1} // 2 + {_FP_W + _WIN_W - 1}
+           AS est_overlap_chars
 FROM fps tr JOIN fps te USING (fingerprint)
 WHERE tr.doc_id % 50 <> 0 AND te.doc_id % 50 = 0
 GROUP BY 1, 2

@@ -573,3 +573,25 @@ def test_tfidf_top_terms(spark):
         got.setdefault(r["doc_id"], []).append((r["rank"], r["token_id"]))
     for d in range(4):
         assert [t for _, t in sorted(got[d])] == [10 + d, 20 + d]
+
+
+def test_decontaminate_span_estimate(spark):
+    """est_overlap_chars inverts winnowing density: floor = window+w-1 (23)
+    at a single shared fingerprint, and a longer verbatim quote yields a
+    larger estimate in the right ballpark."""
+    bench_text = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [(1, "prefix " + bench_text[0:25] + " suffix"),
+         (2, "padding words here " + bench_text + " closing words")],
+        "doc_id long, text string")
+    test = spark.createDataFrame([(100, bench_text)],
+                                 "doc_id long, text string")
+    got = {r["train_doc_id"]: r.asDict()
+           for r in dedup.decontaminate(train, test).collect()}
+    for r in got.values():
+        assert r["est_overlap_chars"] == \
+            (r["n_shared"] - 1) * 9 // 2 + 23
+        assert r["est_overlap_chars"] >= 23
+    # doc 2 quotes the whole 60-char benchmark, doc 1 only 25 chars
+    assert got[2]["est_overlap_chars"] > got[1]["est_overlap_chars"]
+    assert 23 <= got[2]["est_overlap_chars"] <= 2 * len(bench_text)
