@@ -328,3 +328,62 @@ def tfidf_top_terms(tok_exploded: DataFrame, top: int = 5) -> DataFrame:
         .filter(F.col("rank") <= top)
         .select("doc_id", "token_id", "rank")
     )
+
+
+def bm25_rank(tok_exploded: DataFrame, query_tokens: list, k1: float = 1.2,
+              b: float = 0.75, top: int = 20) -> DataFrame:
+    """(doc_id, rank): documents ranked by BM25 (Robertson–Spärck Jones)
+    for a fixed token-set query over a (doc_id, token_id) occurrence table
+    — corpus search for data curation (find the documents most about X).
+
+      idf_t = ln((N - df_t + 0.5)/(df_t + 0.5) + 1)          (BM25+ idf)
+      score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1-b + b*dl*N/sdl))
+
+    Exactness: every float op is a fixed expression tree evaluated
+    identically by Spark and DuckDB (dl/avgdl is computed as the single
+    division (dl*N)/sdl of exact integers), and the per-token components
+    are pivoted into SEPARATE columns then added in a fixed left-to-right
+    order — never a float SUM aggregate, whose ordering differs between
+    engines. Ranks are therefore exactly oracle-checkable; ties break by
+    doc_id ascending.
+
+    Scale shape: corpus scalars (N, sdl) are one aggregate; the tf table
+    only holds (candidate doc, query token) rows because the IN-filter is
+    pushed to the scan; document lengths are computed only for candidate
+    docs via a semi-join. Everything after the two restricted aggregations
+    is candidate-sized."""
+    q = sorted(int(t) for t in query_tokens)
+    n_docs, sdl = tok_exploded.agg(
+        F.countDistinct("doc_id"), F.count("*")).collect()[0]
+    qtok = tok_exploded.filter(F.col("token_id").isin(q))
+    tf = qtok.groupBy("doc_id", "token_id").agg(F.count("*").alias("tf"))
+    dfreq = (tf.groupBy("token_id").agg(F.count("*").alias("df"))
+             .withColumn("idf", F.log(
+                 (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                 / (F.col("df") + F.lit(0.5)) + F.lit(1.0))))
+    cand = tf.select("doc_id").distinct()
+    dl = (tok_exploded.join(cand, "doc_id", "left_semi")
+          .groupBy("doc_id").agg(F.count("*").alias("dl")))
+    part = (
+        F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1)
+           * (F.lit(1.0 - b)
+              + F.lit(b) * ((F.col("dl") * F.lit(n_docs)) / F.lit(sdl))))
+    )
+    parts = (tf.join(F.broadcast(dfreq), "token_id").join(dl, "doc_id")
+             .withColumn("part", part))
+    score = None
+    pivoted = parts.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("token_id") == t, F.col("part")))
+         .alias(f"_p{i}") for i, t in enumerate(q)
+    ])
+    for i in range(len(q)):
+        c = F.coalesce(F.col(f"_p{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        pivoted.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -627,6 +627,53 @@ SELECT doc_id, token_id, rank FROM ranked WHERE rank <= 5
 """
 
 
+_BM25_QUERY = [3, 7, 11]  # dense vocab ids, present at every sf
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus search: top-20 documents by BM25 for a fixed 3-token query.
+    Every float op is a fixed expression tree mirrored in the oracle
+    (components pivoted to columns, added in fixed order — no float SUM
+    aggregate), so the ranking is exactly reproducible."""
+    from ..functions.text import bm25_rank
+
+    return bm25_rank(tokens_exploded(spark, sf_dir), _BM25_QUERY, top=20)
+
+
+_ORACLE_BM25 = TOKENS_ORACLE_CTE + f"""
+, nd AS (SELECT count(DISTINCT doc_id) AS n, count(*) AS sdl FROM tok),
+tf AS (SELECT doc_id, token_id, count(*) AS tf FROM tok
+       WHERE token_id IN ({", ".join(map(str, _BM25_QUERY))}) GROUP BY 1, 2),
+dfq AS (SELECT token_id, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok
+       WHERE doc_id IN (SELECT DISTINCT doc_id FROM tf) GROUP BY 1),
+parts AS (
+  SELECT tf.doc_id, tf.token_id,
+         ln(((SELECT n FROM nd) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (0.25 + 0.75
+                * ((dl.dl * (SELECT n FROM nd)) / (SELECT sdl FROM nd))))
+           AS part
+  FROM tf JOIN dfq USING (token_id) JOIN dl USING (doc_id)
+),
+piv AS (
+  SELECT doc_id,
+         {", ".join(f"max(CASE WHEN token_id = {t} THEN part END) AS p{i}"
+                    for i, t in enumerate(_BM25_QUERY))}
+  FROM parts GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY
+              {" + ".join(f"coalesce(p{i}, 0.0)"
+                          for i in range(len(_BM25_QUERY)))} DESC,
+              doc_id ASC) AS INT) AS rank
+  FROM piv
+)
+SELECT doc_id, rank FROM ranked WHERE rank <= 20
+"""
+
+
 def q_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-bigram fraction over the pre-tokenized
     table — the repetition quality filter, exact vs SQL."""
@@ -902,6 +949,10 @@ CATALOG: dict[str, QuerySpec] = {
     "pmi_top_bigrams": QuerySpec(
         q_pmi_top_bigrams, _ORACLE_PMI,
         "top-20 token collocations by PMI (count floor 5), exact ranking",
+    ),
+    "bm25_rank": QuerySpec(
+        q_bm25_rank, _ORACLE_BM25,
+        "corpus search: BM25 top-20 docs for a fixed query, exact ranking",
     ),
     "kll_ntok_quantiles": QuerySpec(
         q_kll_ntok_quantiles, _ORACLE_KLL,

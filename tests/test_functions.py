@@ -595,3 +595,17 @@ def test_decontaminate_span_estimate(spark):
     # doc 2 quotes the whole 60-char benchmark, doc 1 only 25 chars
     assert got[2]["est_overlap_chars"] > got[1]["est_overlap_chars"]
     assert 23 <= got[2]["est_overlap_chars"] <= 2 * len(bench_text)
+
+
+def test_bm25_rank_properties(spark):
+    """BM25: a doc with more query-token occurrences outranks a longer doc
+    with fewer; docs without any query token never appear."""
+    from pimbloomfilters_spark.functions.text import bm25_rank
+
+    rows = []
+    rows += [(1, 5)] * 4 + [(1, 9)] * 2          # doc 1: tf(5)=4, dl=6
+    rows += [(2, 5)] * 1 + [(2, 9)] * 9          # doc 2: tf(5)=1, dl=10
+    rows += [(3, 9)] * 8                          # doc 3: no query token
+    tok = spark.createDataFrame(rows, "doc_id long, token_id int")
+    got = {r["rank"]: r["doc_id"] for r in bm25_rank(tok, [5]).collect()}
+    assert got == {1: 1, 2: 2}  # doc 3 absent, doc 1 first
