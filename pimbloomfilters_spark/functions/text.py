@@ -355,6 +355,11 @@ def bm25_rank(tok_exploded: DataFrame, query_tokens: list, k1: float = 1.2,
     q = sorted(int(t) for t in query_tokens)
     n_docs, sdl = tok_exploded.agg(
         F.countDistinct("doc_id"), F.count("*")).collect()[0]
+    if sdl == 0:  # empty corpus: lit(sdl)=0 would constant-fold into an
+        # ANSI divide-by-zero at plan time even though no row evaluates it
+        id_type = dict(tok_exploded.dtypes)["doc_id"]
+        return tok_exploded.sparkSession.createDataFrame(
+            [], f"doc_id {id_type}, rank int")
     qtok = tok_exploded.filter(F.col("token_id").isin(q))
     tf = qtok.groupBy("doc_id", "token_id").agg(F.count("*").alias("tf"))
     dfreq = (tf.groupBy("token_id").agg(F.count("*").alias("df"))

@@ -609,3 +609,35 @@ def test_bm25_rank_properties(spark):
     tok = spark.createDataFrame(rows, "doc_id long, token_id int")
     got = {r["rank"]: r["doc_id"] for r in bm25_rank(tok, [5]).collect()}
     assert got == {1: 1, 2: 2}  # doc 3 absent, doc 1 first
+
+
+def test_operators_handle_empty_input(spark):
+    """Public operators must return EMPTY results (not raise) on an empty
+    corpus — the behavior a pipeline stage sees when an upstream filter
+    removes everything."""
+    from pimbloomfilters_spark.functions.packing import (
+        pack_bins_best_fit, pack_context_windows, packing_stats)
+    from pimbloomfilters_spark.functions.text import (
+        bm25_rank, tfidf_top_terms, token_repetition_stats)
+    from pimbloomfilters_spark.operators.sampling import (
+        mixture_sample, mixture_sample_tokens)
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    toks = spark.createDataFrame([], "doc_id long, tokens array<int>, "
+                                     "n_tok int, source string")
+    occ = spark.createDataFrame([], "doc_id long, token_id int")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    assert dedup.minhash_near_dup_pairs(docs).count() == 0
+    assert dedup.simhash_near_dup_pairs(docs).count() == 0
+    assert dedup.token_minhash_near_dup_pairs(toks).count() == 0
+    assert dedup.dedup_exact(docs).count() == 0
+    assert pack_context_windows(toks, 64).count() == 0
+    assert pack_bins_best_fit(toks, 64).count() == 0
+    assert packing_stats(toks, 64).count() == 0
+    assert mixture_sample(toks, {"a": 3}, "doc_id").count() == 0
+    assert mixture_sample_tokens(toks, {"a": 30}, "doc_id").count() == 0
+    assert token_repetition_stats(toks).count() == 0
+    assert tfidf_top_terms(occ).count() == 0
+    assert bm25_rank(occ, [1, 2]).count() == 0
+    assert similarity.cosine_topk_blocked(emb, emb, k=3).count() == 0
