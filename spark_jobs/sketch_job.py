@@ -120,6 +120,16 @@ def main() -> int:
     m.add_argument("--stratum-col", default="source")
     m.add_argument("--out", required=True)
 
+    s = sub.add_parser(
+        "search",
+        help="BM25 top-k docs for a token-id query over a (doc_id, "
+             "token_id) occurrence parquet")
+    s.add_argument("--input", required=True)
+    s.add_argument("--query", required=True,
+                   help="comma-separated token ids, e.g. 3,7,11")
+    s.add_argument("--top", type=int, default=20)
+    s.add_argument("--out", required=True)
+
     args = ap.parse_args()
 
     if args.cmd == "inspect":
@@ -167,6 +177,17 @@ def main() -> int:
         return 0
 
     df = spark.read.parquet(args.input)
+
+    if args.cmd == "search":
+        from pimbloomfilters_spark.functions.text import bm25_rank
+
+        out = bm25_rank(df, [int(t) for t in args.query.split(",")],
+                        top=args.top)
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "rows": n}))
+        spark.stop()
+        return 0
 
     if args.cmd == "pack":
         from pimbloomfilters_spark.functions.packing import (

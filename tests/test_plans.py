@@ -229,3 +229,15 @@ def test_pack_windows_single_exchange(spark):
     plan = _plan(pack_context_windows(df, 256))
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_and_bm25_broadcast_vocab_tables(spark, sf_dir):
+    """The vocabulary-sized document-frequency tables must BROADCAST back
+    onto the corpus-sized sides — a shuffle join there would move the
+    corpus for a vocab-sized dim."""
+    from pimbloomfilters_spark.functions.text import bm25_rank, tfidf_top_terms
+    from pimbloomfilters_spark.sources.tables import tokens_exploded
+
+    tok = tokens_exploded(spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(tfidf_top_terms(tok, top=3))
+    assert "BroadcastHashJoin" in _plan(bm25_rank(tok, [3, 7, 11]))
