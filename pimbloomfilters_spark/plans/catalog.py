@@ -199,6 +199,41 @@ ORDER BY cnt DESC, token_id ASC LIMIT 10
 """
 
 
+def q_countsketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch point estimates for the top-10 tokens: UNBIASED (unlike
+    CMS's one-sided over-count), |est - true| <= 3*sqrt(F2/width) w.h.p. —
+    the published Charikar et al. guarantee, asserted against the exactly
+    computed second frequency moment."""
+    import math as _math
+
+    tok = tokens_exploded(spark, sf_dir)
+    sk, _ = build_sketch(
+        tok, "token_id",
+        functools.partial(make_sketch, "countsketch", width=8192, depth=5))
+    counts = tok.groupBy("token_id").agg(F.count("*").alias("cnt")).cache()
+    f2 = counts.agg(F.sum(F.col("cnt") * F.col("cnt"))).collect()[0][0]
+    top = (counts.orderBy(F.desc("cnt"), F.asc("token_id")).limit(10)
+           .collect())
+    counts.unpersist()
+    ids = np.array([r["token_id"] for r in top], dtype=np.int64)
+    true_counts = np.array([r["cnt"] for r in top], dtype=np.int64)
+    est = sk.query_bulk(ids)
+    bound = 3.0 * _math.sqrt(f2 / sk.width)
+    rows = [
+        (int(t), int(c), bool(abs(int(e) - int(c)) <= bound))
+        for t, c, e in zip(ids, true_counts, est)
+    ]
+    return spark.createDataFrame(
+        rows, "token_id int, cnt bigint, within_bound boolean")
+
+
+_ORACLE_COUNTSKETCH = TOKENS_ORACLE_CTE + """
+SELECT token_id, CAST(count(*) AS BIGINT) AS cnt, TRUE AS within_bound
+FROM tok GROUP BY token_id
+ORDER BY cnt DESC, token_id ASC LIMIT 10
+"""
+
+
 def _bigram_codes():
     """In-doc token-bigram codes — the shared coding (text.token_bigram_codes)
     used by the CMS-bigram, theta-overlap, and repetition gates: the encoding
@@ -910,6 +945,10 @@ CATALOG: dict[str, QuerySpec] = {
     "cms_bigram_heavy_hitters": QuerySpec(
         q_cms_bigram_heavy_hitters, _ORACLE_CMS_BIGRAM,
         "token-bigram (LM n-gram) top-10 via CMS: one-sided error within eps*N",
+    ),
+    "countsketch_heavy_hitters": QuerySpec(
+        q_countsketch_heavy_hitters, _ORACLE_COUNTSKETCH,
+        "Count-Sketch unbiased top-10 estimates within 3*sqrt(F2/width)",
     ),
     "theta_source_similarity": QuerySpec(
         q_theta_source_similarity, _ORACLE_THETA_SOURCES,

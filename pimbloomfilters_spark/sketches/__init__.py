@@ -12,6 +12,7 @@ from .base import Sketch, sketch_from_bytes
 from .bloom import BlockedBloomFilter
 from .hll import HyperLogLog
 from .cms import CountMinSketch
+from .countsketch import CountSketch
 from .kll import KLLSketch
 from .mg import MisraGries
 from .tdigest import TDigest
@@ -21,6 +22,7 @@ from .factory import make_sketch, SKETCH_KINDS
 __all__ = [
     "Sketch",
     "sketch_from_bytes",
+    "CountSketch",
     "BlockedBloomFilter",
     "HyperLogLog",
     "CountMinSketch",

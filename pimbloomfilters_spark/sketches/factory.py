@@ -7,6 +7,7 @@ from __future__ import annotations
 from .base import Sketch
 from .bloom import BlockedBloomFilter
 from .cms import CountMinSketch
+from .countsketch import CountSketch
 from .hll import HyperLogLog
 from .kll import KLLSketch
 from .mg import MisraGries
@@ -17,6 +18,7 @@ SKETCH_KINDS = {
     "bloom": BlockedBloomFilter,
     "hll": HyperLogLog,
     "cms": CountMinSketch,
+    "countsketch": CountSketch,
     "kll": KLLSketch,
     "tdigest": TDigest,
     "mg": MisraGries,

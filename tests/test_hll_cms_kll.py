@@ -447,3 +447,39 @@ def test_kll_chunked_ingestion_bounds_level0():
     # uniform data: quantile(q) ~ q*n
     for q in (0.1, 0.5, 0.9):
         assert abs(k.quantile(q) - q * n) <= k.rank_error() * n * 3
+
+
+def test_countsketch_unbiased_and_bounded(spark):
+    """Count Sketch: estimates within 3*sqrt(F2/width) of exact for heavy
+    AND absent keys (two-sided, unlike CMS), merge == bulk build exactly,
+    serialize round-trips, and depth must be odd."""
+    import collections
+
+    import numpy as np
+    import pytest as _pt
+
+    from pimbloomfilters_spark.sketches import make_sketch, sketch_from_bytes
+
+    rng = np.random.default_rng(7)
+    vals = rng.zipf(1.3, 100_000).astype(np.int64)
+    vals = vals[vals < 10_000]
+    sk = make_sketch("countsketch", width=4096, depth=5)
+    sk.insert_bulk(vals)
+    exact = collections.Counter(vals.tolist())
+    f2 = sum(c * c for c in exact.values())
+    bound = 3 * (f2 / 4096) ** 0.5
+    top = np.array([t for t, _ in exact.most_common(20)], dtype=np.int64)
+    est = sk.query_bulk(top)
+    assert all(abs(int(e) - exact[int(t)]) <= bound
+               for e, t in zip(est, top))
+    absent = sk.query_bulk(np.arange(10**9, 10**9 + 50, dtype=np.int64))
+    assert np.abs(absent).max() <= bound  # unbiased around 0 for absent keys
+
+    a = make_sketch("countsketch", width=4096, depth=5)
+    b = make_sketch("countsketch", width=4096, depth=5)
+    a.insert_bulk(vals[: len(vals) // 2]); b.insert_bulk(vals[len(vals) // 2:])
+    assert np.array_equal(a.merge(b)._table, sk._table)
+    back = sketch_from_bytes(sk.to_bytes())
+    assert np.array_equal(back._table, sk._table) and back.total == sk.total
+    with _pt.raises(ValueError):
+        make_sketch("countsketch", depth=4)
