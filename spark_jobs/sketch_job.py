@@ -42,8 +42,10 @@ def main() -> int:
         b.add_argument("--input", required=True)
         b.add_argument("--col", required=True)
         b.add_argument("--kind", default="bloom",
-                       choices=["bloom", "hll", "cms", "kll", "tdigest",
-                                "mg", "theta"])
+                       choices=["bloom", "hll", "cms", "countsketch", "kll",
+                                "tdigest", "mg", "theta"])
+        b.add_argument("--width", type=int, default=8192,
+                       help="countsketch table width")
         b.add_argument("--size2", type=int, default=24)
         b.add_argument("--nb-hash", type=int, default=8)
         b.add_argument("--unblocked", action="store_true",
@@ -227,6 +229,7 @@ def main() -> int:
                           blocked=not args.unblocked),
             "hll": dict(p=args.hll_p),
             "cms": dict(eps=args.cms_eps, delta=args.cms_delta),
+            "countsketch": dict(width=args.width),
             "kll": dict(k=args.k),
             "tdigest": dict(delta=args.k),
             "mg": dict(k=args.k),
