@@ -483,3 +483,46 @@ def test_countsketch_unbiased_and_bounded(spark):
     assert np.array_equal(back._table, sk._table) and back.total == sk.total
     with _pt.raises(ValueError):
         make_sketch("countsketch", depth=4)
+
+
+def test_countsketch_through_grouped_and_streaming_builds(spark, sf_dir,
+                                                          tmp_path_factory):
+    """The new family composes with the generic machinery unchanged: a
+    grouped build yields per-group tables byte-equal to solo builds, and
+    the streaming fold equals the batch build."""
+    import functools
+
+    import numpy as np
+
+    from pimbloomfilters_spark.operators import build_sketch, build_sketch_grouped
+    from pimbloomfilters_spark.sketches import make_sketch, sketch_from_bytes
+    from pimbloomfilters_spark.sources.tables import tokens_exploded
+    from pimbloomfilters_spark.streaming.stream_build import (
+        get_stream_sketch, sketch_stream_query)
+
+    from pyspark.sql import functions as F
+
+    cs = functools.partial(make_sketch, "countsketch", width=2048, depth=5)
+    tok = tokens_exploded(spark, sf_dir)
+    grouped = {r["source"]: r for r in
+               build_sketch_grouped(tok, ["source"], "token_id", cs).collect()}
+    for src in list(grouped)[:2]:
+        solo, _ = build_sketch(tok.filter(F.col("source") == src),
+                               "token_id", cs)
+        assert sketch_from_bytes(bytes(grouped[src]["sketch"])).payload() \
+            == solo.payload()
+
+    data_dir = str(tmp_path_factory.mktemp("cs_in"))
+    ckpt = str(tmp_path_factory.mktemp("cs_ckpt"))
+    for i in range(3):
+        spark.range(i * 1000, (i + 1) * 1000).withColumn(
+            "id", (F.col("id") % 50)).coalesce(1) \
+            .write.mode("append").parquet(data_dir)
+    stream = (spark.readStream.schema("id long")
+              .option("maxFilesPerTrigger", 1).parquet(data_dir))
+    q = sketch_stream_query(stream, "id", cs, "cs_fold", ckpt)
+    q.awaitTermination(120)
+    batch, _ = build_sketch(spark.read.parquet(data_dir), "id", cs)
+    streamed = get_stream_sketch("cs_fold")
+    assert np.array_equal(streamed._table, batch._table)
+    assert streamed.total == batch.total
