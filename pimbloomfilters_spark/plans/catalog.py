@@ -199,6 +199,34 @@ ORDER BY cnt DESC, token_id ASC LIMIT 10
 """
 
 
+def q_counting_bloom_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletable membership — the op a plain Bloom filter cannot do: build
+    a counting Bloom over every ordering customer, DELETE the 1995 orderers
+    by subtracting a distributed second build, then probe all customers.
+    member == ordered at least once AND not in 1995 (exact at the gated
+    zero-FPR geometry; counting cells mean deletes can never create false
+    negatives for the remaining keys)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    factory = functools.partial(make_sketch, "countingbloom", **_GATED_BLOOM)
+    all_keys = orders.select("o_custkey").distinct()
+    del_keys = (orders.filter(F.year("o_orderdate") == 1995)
+                .select("o_custkey").distinct())
+    sk, _ = build_sketch(all_keys, "o_custkey", factory)
+    del_sk, _ = build_sketch(del_keys, "o_custkey", factory)
+    sk.subtract(del_sk)
+    return probe_key_column(customer.select("c_custkey"), sk, "c_custkey")
+
+
+_ORACLE_COUNTING_BLOOM = """
+SELECT c_custkey,
+       (c_custkey IN (SELECT o_custkey FROM orders)
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE year(o_orderdate) = 1995)) AS member
+FROM customer
+"""
+
+
 def q_countsketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Sketch point estimates for the top-10 tokens: UNBIASED (unlike
     CMS's one-sided over-count), |est - true| <= 3*sqrt(F2/width) w.h.p. —
@@ -949,6 +977,11 @@ CATALOG: dict[str, QuerySpec] = {
     "countsketch_heavy_hitters": QuerySpec(
         q_countsketch_heavy_hitters, _ORACLE_COUNTSKETCH,
         "Count-Sketch unbiased top-10 estimates within 3*sqrt(F2/width)",
+    ),
+    "counting_bloom_delete": QuerySpec(
+        q_counting_bloom_delete, _ORACLE_COUNTING_BLOOM,
+        "deletable membership: counting Bloom, distributed subtract, "
+        "exact at gated geometry",
     ),
     "theta_source_similarity": QuerySpec(
         q_theta_source_similarity, _ORACLE_THETA_SOURCES,

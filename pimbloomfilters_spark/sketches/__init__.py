@@ -13,6 +13,7 @@ from .bloom import BlockedBloomFilter
 from .hll import HyperLogLog
 from .cms import CountMinSketch
 from .countsketch import CountSketch
+from .countingbloom import CountingBloomFilter
 from .kll import KLLSketch
 from .mg import MisraGries
 from .tdigest import TDigest
@@ -23,6 +24,7 @@ __all__ = [
     "Sketch",
     "sketch_from_bytes",
     "CountSketch",
+    "CountingBloomFilter",
     "BlockedBloomFilter",
     "HyperLogLog",
     "CountMinSketch",

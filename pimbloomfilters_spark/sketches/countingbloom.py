@@ -1,0 +1,144 @@
+"""Counting Bloom filter (Fan, Cao, Almeida & Broder 2000, "Summary Cache")
+— membership WITH DELETION, the operation a plain Bloom filter (and the
+reference's DPU filter, src/bloom_filter.hpp) cannot support.
+
+Each bit of the blocked Bloom layout becomes a uint16 counter: insert
+increments an item's k counters, delete decrements them, membership = all k
+counters non-zero. Because counters ADD, two filters merge by element-wise
+addition — exactly associative/commutative, so every existing build path
+(partials, grouped, sharded-by-geometry, streaming fold) applies unchanged;
+contrast cuckoo filters, whose eviction chains make merge order-dependent
+and failable.
+
+Positions reuse ``bloom_positions`` (same double-hashing, same blocked
+layout), so FPR follows the same blocked-Bloom bound as the bit version at
+equal (m, k, n) — verified in tests by comparing membership against a
+BlockedBloomFilter built from the same keys.
+
+Contracts (standard counting-Bloom caveats, enforced where detectable):
+- delete only items you inserted: deleting a non-member whose cells are all
+  shared would silently corrupt; a decrement that would go negative raises.
+- a counter overflowing uint16 (a cell shared by >65535 items) raises at
+  insert/merge rather than wrapping. Memory is 16x the bit filter.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..hashing import DEFAULT_SEED
+from .base import Sketch, register
+from .bloom import BLOCK_BITS, bloom_positions
+
+
+@register(9)
+class CountingBloomFilter(Sketch):
+    kind = "countingbloom"
+
+    def __init__(self, size2: int, nb_hash: int, seed: int = DEFAULT_SEED,
+                 block_bits: int = BLOCK_BITS, blocked: bool = True):
+        if size2 < 3:
+            raise ValueError("size2 must be >= 3")
+        if not (1 <= nb_hash <= 64):
+            raise ValueError("nb_hash must be in 1..64")
+        self.size2 = int(size2)
+        self.nb_hash = int(nb_hash)
+        self.seed = int(seed)
+        self.blocked = bool(blocked)
+        self.block_bits = int(block_bits) if blocked else (1 << self.size2)
+        self._counters = np.zeros(1 << self.size2, dtype=np.uint16)
+        self.n_items = 0
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        return bloom_positions(np.asarray(values), self.size2, self.nb_hash,
+                               self.seed, self.block_bits).astype(np.int64)
+
+    _CHUNK = 1 << 19
+
+    def insert_bulk(self, values: np.ndarray) -> None:
+        values = np.asarray(values)
+        for lo in range(0, values.size, self._CHUNK):
+            pos = self._positions(values[lo:lo + self._CHUNK])
+            before = self._counters[pos]
+            np.add.at(self._counters, pos, 1)
+            # wrap detection: any touched cell now below its prior value
+            if (self._counters[pos] < before).any():
+                raise OverflowError(
+                    "counting-bloom cell exceeded uint16; grow size2")
+        self.n_items += int(values.size)
+
+    def delete_bulk(self, values: np.ndarray) -> None:
+        """Decrement the k counters of each value. Only delete items that
+        were inserted (see module docstring); an underflow raises and the
+        filter state is left unchanged."""
+        values = np.asarray(values)
+        for lo in range(0, values.size, self._CHUNK):
+            pos = self._positions(values[lo:lo + self._CHUNK])
+            u, dec = np.unique(pos, return_counts=True)  # O(chunk log chunk)
+            if (self._counters[u] < dec).any():
+                raise ValueError(
+                    "delete of a non-inserted item (counter underflow)")
+            self._counters[u] -= dec.astype(np.uint16)
+        self.n_items -= int(values.size)
+
+    def contains_bulk(self, values: np.ndarray) -> np.ndarray:
+        values = np.asarray(values)
+        if values.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        return (self._counters[pos] > 0).reshape(values.size,
+                                                 self.nb_hash).all(axis=1)
+
+    def contains(self, value) -> bool:
+        return bool(self.contains_bulk(np.asarray([value]))[0])
+
+    def get_weight(self) -> int:
+        """Number of non-zero cells (the popcount analogue)."""
+        return int(np.count_nonzero(self._counters))
+
+    def subtract(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
+        """Bulk DISTRIBUTED delete: subtract a filter built (with the same
+        geometry/seed, via any build path) from the items to remove. Every
+        removed item must have been inserted here with at least the
+        multiplicity it carries in ``other`` — underflow raises, state
+        unchanged. This turns deletion into the same mergeable-partials
+        shape as building: construct the deletion filter in parallel, then
+        one subtract."""
+        self._check_mergeable(other)
+        if (self._counters < other._counters).any():
+            raise ValueError(
+                "subtract of items not (all) inserted (counter underflow)")
+        self._counters -= other._counters
+        self.n_items -= other.n_items
+        return self
+
+    def merge(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
+        self._check_mergeable(other)
+        summed = self._counters.astype(np.int32) + other._counters
+        if summed.max() > np.iinfo(np.uint16).max:
+            raise OverflowError(
+                "counting-bloom cell exceeded uint16 on merge; grow size2")
+        self._counters = summed.astype(np.uint16)
+        self.n_items += other.n_items
+        return self
+
+    def config(self) -> dict[str, Any]:
+        return {"size2": self.size2, "nb_hash": self.nb_hash,
+                "seed": self.seed, "block_bits": self.block_bits,
+                "blocked": self.blocked}
+
+    def payload(self) -> bytes:
+        return np.int64(self.n_items).tobytes() + self._counters.tobytes()
+
+    def _load_payload(self, raw: bytes) -> None:
+        self.n_items = int(np.frombuffer(raw[:8], dtype=np.int64)[0])
+        arr = np.frombuffer(raw[8:], dtype=np.uint16)
+        if arr.size != 1 << self.size2:
+            raise ValueError("payload size mismatch for countingbloom geometry")
+        self._counters = arr.copy()
+
+    @classmethod
+    def _from_config(cls, cfg: dict[str, Any]) -> "CountingBloomFilter":
+        return cls(**cfg)

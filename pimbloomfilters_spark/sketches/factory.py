@@ -8,6 +8,7 @@ from .base import Sketch
 from .bloom import BlockedBloomFilter
 from .cms import CountMinSketch
 from .countsketch import CountSketch
+from .countingbloom import CountingBloomFilter
 from .hll import HyperLogLog
 from .kll import KLLSketch
 from .mg import MisraGries
@@ -19,6 +20,7 @@ SKETCH_KINDS = {
     "hll": HyperLogLog,
     "cms": CountMinSketch,
     "countsketch": CountSketch,
+    "countingbloom": CountingBloomFilter,
     "kll": KLLSketch,
     "tdigest": TDigest,
     "mg": MisraGries,

@@ -213,3 +213,44 @@ def test_factory_variant_presets():
         make_sketch("hll", variant="basic")
     with pytest.raises(ValueError):
         make_sketch("bloom", variant="nope")
+
+
+def test_counting_bloom_delete_semantics():
+    """Counting Bloom: membership equals the bit Bloom at identical
+    geometry; deletes never create false negatives for remaining keys;
+    underflow (deleting a non-member) raises; merge/subtract are exact
+    counter algebra; serialize round-trips."""
+    import numpy as np
+    import pytest as _pt
+
+    from pimbloomfilters_spark.sketches import make_sketch, sketch_from_bytes
+
+    keys = np.arange(10_000, dtype=np.int64)
+    cb = make_sketch("countingbloom", size2=20, nb_hash=8)
+    cb.insert_bulk(keys)
+    bb = make_sketch("bloom", size2=20, nb_hash=8)
+    bb.insert_bulk(keys)
+    probe = np.arange(20_000, dtype=np.int64)
+    assert np.array_equal(cb.contains_bulk(probe), bb.contains_bulk(probe))
+
+    cb.delete_bulk(keys[:5000])
+    assert cb.contains_bulk(keys[5000:]).all()  # no FN from deletion
+    with _pt.raises(ValueError):
+        cb.delete_bulk(np.array([10**9]))
+
+    a = make_sketch("countingbloom", size2=20, nb_hash=8)
+    b = make_sketch("countingbloom", size2=20, nb_hash=8)
+    a.insert_bulk(keys[:5000]); b.insert_bulk(keys[5000:])
+    merged = a.merge(b)
+    full = make_sketch("countingbloom", size2=20, nb_hash=8)
+    full.insert_bulk(keys)
+    assert np.array_equal(merged._counters, full._counters)
+    d = make_sketch("countingbloom", size2=20, nb_hash=8)
+    d.insert_bulk(keys[:5000])
+    full.subtract(d)
+    assert np.array_equal(full._counters, cb._counters)
+    with _pt.raises(ValueError):  # subtracting d again must underflow
+        full.subtract(d)
+    back = sketch_from_bytes(cb.to_bytes())
+    assert np.array_equal(back._counters, cb._counters)
+    assert back.n_items == cb.n_items
