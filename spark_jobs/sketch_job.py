@@ -42,8 +42,9 @@ def main() -> int:
         b.add_argument("--input", required=True)
         b.add_argument("--col", required=True)
         b.add_argument("--kind", default="bloom",
-                       choices=["bloom", "hll", "cms", "countsketch", "kll",
-                                "tdigest", "mg", "theta"])
+                       choices=["bloom", "countingbloom", "hll", "cms",
+                                "countsketch", "kll", "tdigest", "mg",
+                                "theta"])
         b.add_argument("--width", type=int, default=8192,
                        help="countsketch table width")
         b.add_argument("--size2", type=int, default=24)
@@ -227,6 +228,8 @@ def main() -> int:
         cfgs = {
             "bloom": dict(size2=args.size2, nb_hash=args.nb_hash,
                           blocked=not args.unblocked),
+            "countingbloom": dict(size2=args.size2, nb_hash=args.nb_hash,
+                                  blocked=not args.unblocked),
             "hll": dict(p=args.hll_p),
             "cms": dict(eps=args.cms_eps, delta=args.cms_delta),
             "countsketch": dict(width=args.width),
