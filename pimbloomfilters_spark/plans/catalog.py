@@ -34,6 +34,10 @@ from ..sources.tables import TOKENS_ORACLE_CTE, load_table, token_table, tokens_
 # expected FPs ~ 1e-12 per probe. Verified zero by tools/check_oracles.py.
 _GATED_BLOOM = dict(size2=24, nb_hash=8)
 _NEG_LO, _NEG_HI = 10_000_000, 10_001_000  # disjoint negative probe range
+# per-source token budgets for the mixture gates (subset of sources on
+# purpose: absent strata must contribute nothing)
+_MIX_BUDGETS = {"src0": 700, "src1": 400, "src2": 1000, "src3": 250}
+_PACK_CTX = 256  # tokens per training context window for the packing gates
 
 
 @dataclass
@@ -196,6 +200,101 @@ SELECT token_id, CAST(count(*) AS BIGINT) AS cnt,
        TRUE AS cms_ge_true, TRUE AS cms_le_bound
 FROM tok GROUP BY token_id
 ORDER BY cnt DESC, token_id ASC LIMIT 10
+"""
+
+
+def q_pipeline_tokens_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-TOKENIZED training-data pipeline as ONE composed query:
+    repetition quality filter (dup_frac <= 0.05) -> token-shingle MinHash
+    near-dup removal (drop the larger id of every verified >= 0.7 pair) ->
+    per-source token-budget mixture sample -> context-window packing stats
+    of the final mixture. Every stage is one of the individually-gated
+    operators; the oracle reproduces the whole chain in SQL (near-dup stage
+    valid because LSH recall is ~1 at this banding — the same argument as
+    the char-gram pipeline gate). Capped at 500 docs like every pairwise
+    gate."""
+    from ..functions import dedup
+    from ..functions.packing import packing_stats
+    from ..functions.text import token_repetition_stats
+    from ..operators.sampling import mixture_sample_tokens
+
+    tt = (token_table(spark, sf_dir)
+          .withColumn("doc_id", F.col("doc_id").cast("long"))
+          .filter(F.col("doc_id") < 500))
+    rep_ok = (token_repetition_stats(tt)
+              .filter(F.col("dup_frac") <= 0.05).select("doc_id"))
+    keep1 = tt.join(rep_ok, "doc_id")
+    drop = (dedup.token_minhash_near_dup_pairs(keep1, threshold=0.7)
+            .select(F.col("doc_b").alias("doc_id")).distinct())
+    surv = keep1.join(drop, "doc_id", "left_anti")
+    mixed = mixture_sample_tokens(surv, _MIX_BUDGETS, "doc_id")
+    return packing_stats(mixed, _PACK_CTX)
+
+
+_ORACLE_PIPELINE_TOKENS = TOKENS_ORACLE_CTE + f"""
+, nt AS (
+  SELECT doc_id, source, CAST(count(*) AS INT) AS n_tok FROM tok
+  WHERE doc_id < 500 GROUP BY 1, 2
+),
+big0 AS (
+  SELECT t1.doc_id,
+         CAST(t1.token_id AS BIGINT) * 4294967296 + t2.token_id AS bigram
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.doc_id < 500
+),
+rep AS (
+  SELECT doc_id FROM big0 GROUP BY doc_id
+  HAVING (count(*) - count(DISTINCT bigram)) * 1.0 / count(*) <= 0.05
+),
+keep1 AS (SELECT nt.* FROM nt JOIN rep USING (doc_id)),
+bigk AS (SELECT DISTINCT b.doc_id, b.bigram FROM big0 b JOIN rep USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM bigk GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM bigk a JOIN bigk b USING (bigram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+neardup AS (
+  SELECT p.doc_b FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.i * 1.0 / (sa.sz + sb.sz - p.i) >= 0.7
+),
+surv AS (SELECT * FROM keep1 WHERE doc_id NOT IN (SELECT doc_b FROM neardup)),
+bud AS (
+  SELECT * FROM (VALUES {", ".join(f"('{s}', {v})" for s, v in _MIX_BUDGETS.items())})
+           AS t(source, budget)
+),
+mix AS (
+  SELECT doc_id, source, n_tok FROM (
+    SELECT s.doc_id, s.source, s.n_tok, b.budget,
+           sum(s.n_tok) OVER (PARTITION BY s.source
+               ORDER BY md5(CAST(s.doc_id AS VARCHAR))) - s.n_tok AS before_tok
+    FROM surv s JOIN bud b USING (source)
+  ) WHERE before_tok < budget
+),
+p AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok
+              AS BIGINT) AS start_off
+  FROM mix
+),
+d AS (
+  SELECT source, n_tok,
+         (start_off + n_tok - 1) // {_PACK_CTX} - start_off // {_PACK_CTX} + 1
+             AS nw
+  FROM p
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tok,
+       (CAST(sum(n_tok) AS BIGINT) + {_PACK_CTX} - 1) // {_PACK_CTX}
+           AS n_windows,
+       (CAST(sum(n_tok) AS BIGINT) + {_PACK_CTX} - 1) // {_PACK_CTX}
+           * {_PACK_CTX} - CAST(sum(n_tok) AS BIGINT) AS tail_padding,
+       CAST(sum(CASE WHEN nw > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS boundary_docs
+FROM d GROUP BY source
 """
 
 
@@ -418,9 +517,6 @@ WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.7
 """
 
 
-_PACK_CTX = 256  # tokens per training context window for the packing gates
-
-
 def _packed_tokens(spark: SparkSession, sf_dir: str):
     from ..functions.packing import pack_context_windows
 
@@ -559,9 +655,6 @@ SELECT source,
        TRUE AS capacity_ok, TRUE AS halffull_ok, TRUE AS bound_ok
 FROM nt GROUP BY source
 """
-
-
-_MIX_BUDGETS = {"src0": 700, "src1": 400, "src2": 1000, "src3": 250}
 
 
 def q_mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,6 +1075,11 @@ CATALOG: dict[str, QuerySpec] = {
         q_counting_bloom_delete, _ORACLE_COUNTING_BLOOM,
         "deletable membership: counting Bloom, distributed subtract, "
         "exact at gated geometry",
+    ),
+    "pipeline_tokens_end_to_end": QuerySpec(
+        q_pipeline_tokens_end_to_end, _ORACLE_PIPELINE_TOKENS,
+        "tokens pipeline composed: repetition filter -> shingle near-dup "
+        "removal -> token-budget mixture -> packing stats",
     ),
     "theta_source_similarity": QuerySpec(
         q_theta_source_similarity, _ORACLE_THETA_SOURCES,
