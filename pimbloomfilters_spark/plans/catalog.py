@@ -609,22 +609,22 @@ def q_pack_bins_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = token_table(spark, sf_dir).withColumn(
         "doc_id", F.col("doc_id").cast("long"))
     packed = pack_bins_best_fit(tt, L)
+    # ONE aggregation chain over the packer output (the greedy applyInPandas
+    # would otherwise re-run once per separate aggregation branch)
     fills = packed.groupBy("source", "bin_id").agg(
-        F.sum("n_tok").alias("fill"))
-    caps = fills.groupBy("source").agg(
+        F.sum("n_tok").alias("fill"), F.count("*").alias("docs"))
+    per_src = fills.groupBy("source").agg(
+        F.sum("docs").cast("long").alias("n_docs_packed"),
+        F.sum("fill").cast("long").alias("total_tok"),
         F.max("fill").alias("max_fill"),
         F.count("*").alias("n_bins"),
         F.sum(F.when(F.col("fill") * 2 <= L, 1).otherwise(0))
          .alias("n_half_empty"),
     )
-    per_src = packed.groupBy("source").agg(
-        F.count("*").alias("n_docs_packed"),
-        F.sum("n_tok").cast("long").alias("total_tok"),
-    )
     oversize = (tt.filter(F.col("n_tok") > L).groupBy("source")
                 .agg(F.count("*").alias("n_oversize")))
     return (
-        per_src.join(caps, "source")
+        per_src
         .join(oversize, "source", "left")
         .withColumn("n_oversize", F.coalesce("n_oversize", F.lit(0)))
         .withColumn("lower_bound", F.expr(f"(total_tok + {L} - 1) div {L}"))
