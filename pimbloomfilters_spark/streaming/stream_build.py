@@ -304,6 +304,7 @@ def windowed_heavy_hitters_stream(
     key_col: str,
     window: str = "1 minute",
     watermark: str = "2 minutes",
+    slide: str | None = None,
     k: int = 256,
     top: int = 10,
 ) -> DataFrame:
@@ -321,7 +322,8 @@ def windowed_heavy_hitters_stream(
     with_window = (
         stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
-        .withColumn("_w", F.window(F.col(ts_col), window).getField("start"))
+        .withColumn("_w", F.window(F.col(ts_col), window, slide or window)
+                    .getField("start"))
         .withColumn("_k", F.col(key_col).cast("long"))
         .select("_w", "_k", ts_col)
     )
@@ -377,6 +379,7 @@ def windowed_quantiles_stream(
     value_col: str,
     window: str = "1 minute",
     watermark: str = "2 minutes",
+    slide: str | None = None,
     kll_k: int = 200,
 ) -> DataFrame:
     """Per-event-time-window streaming quantiles (p50/p95) via a KLL sketch
@@ -393,7 +396,8 @@ def windowed_quantiles_stream(
     with_window = (
         stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
-        .withColumn("_w", F.window(F.col(ts_col), window).getField("start"))
+        .withColumn("_w", F.window(F.col(ts_col), window, slide or window)
+                    .getField("start"))
         .withColumn("_v", F.col(value_col).cast("double"))
         .select("_w", "_v", ts_col)
     )
@@ -608,6 +612,7 @@ def windowed_distinct_stream(
     key_col: str,
     window: str = "1 minute",
     watermark: str = "2 minutes",
+    slide: str | None = None,
     hll_p: int = 12,
 ) -> DataFrame:
     """Per-event-time-window streaming distinct-count (HLL) via
@@ -623,7 +628,8 @@ def windowed_distinct_stream(
     with_window = (
         stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
-        .withColumn("_w", F.window(F.col(ts_col), window).getField("start"))
+        .withColumn("_w", F.window(F.col(ts_col), window, slide or window)
+                    .getField("start"))
         .withColumn("_k", F.xxhash64(F.col(key_col).cast("string")))
         # the watermarked ts column must survive the projection or the
         # analyzer rejects EventTimeTimeout ("no watermark")

@@ -403,3 +403,37 @@ def test_dedup_stream_ttl_readmits_across_restart(spark, tmp_path_factory):
     got = spark.read.parquet(out_dir)
     assert got.count() == 1000, "key not re-admitted after TTL"
     assert got.distinct().count() == 500
+
+
+def test_windowed_distinct_stream_sliding(spark, sf_dir, tmp_path_factory):
+    """Sliding windows: with window=2h slide=1h every event lands in TWO
+    windows, and each window's distinct estimate matches the batch
+    computation over the same sliding windows."""
+    from pimbloomfilters_spark.streaming import windowed_distinct_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    data_dir = str(tmp_path_factory.mktemp("evs_in"))
+    events.write.mode("overwrite").parquet(data_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(data_dir)
+    out = windowed_distinct_stream(stream, "ts", "user_id", window="2 hours",
+                                   watermark="4 hours", slide="1 hour",
+                                   hll_p=12)
+    q = (out.writeStream.format("memory").queryName("win_hll_slide")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r["window_start"]: r["estimate"]
+           for r in spark.sql("select * from win_hll_slide").collect()}
+    exact = {
+        r["w"]: r["d"]
+        for r in events.select(
+            F.window("ts", "2 hours", "1 hour").getField("start").alias("w"),
+            "user_id",
+        ).groupBy("w").agg(F.countDistinct("user_id").alias("d")).collect()
+    }
+    assert got and set(exact) == set(got)
+    # sliding windows must outnumber the tumbling 2h partition of the range
+    assert len(exact) >= 2 * ((len(exact) + 1) // 2)
+    for w, d in exact.items():
+        assert abs(got[w] - d) <= max(4 * 1.04 / (2**12) ** 0.5 * d, 3), \
+            (w, got[w], d)
