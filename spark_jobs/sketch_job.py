@@ -133,7 +133,37 @@ def main() -> int:
     s.add_argument("--top", type=int, default=20)
     s.add_argument("--out", required=True)
 
+    c = sub.add_parser(
+        "combine",
+        help="merge or subtract two sketch files of identical geometry "
+             "(subtract: counting-bloom bulk delete)")
+    c.add_argument("--sketch", required=True)
+    c.add_argument("--other", required=True)
+    c.add_argument("--op", choices=["merge", "subtract"], default="merge")
+    c.add_argument("--out", required=True)
+
     args = ap.parse_args()
+
+    if args.cmd == "combine":
+        from pimbloomfilters_spark.sketches import sketch_from_bytes
+
+        with open(args.sketch, "rb") as f:
+            a = sketch_from_bytes(f.read())
+        with open(args.other, "rb") as f:
+            b = sketch_from_bytes(f.read())
+        if args.op == "subtract":
+            if not hasattr(a, "subtract"):
+                raise SystemExit(
+                    f"sketch kind {a.kind!r} does not support subtract "
+                    "(only countingbloom does)")
+            a.subtract(b)
+        else:
+            a.merge(b)
+        with open(args.out, "wb") as f:
+            f.write(a.to_bytes())
+        print(json.dumps({"out": args.out, "kind": a.kind, "op": args.op,
+                          "bytes": len(a.payload())}))
+        return 0
 
     if args.cmd == "inspect":
         from pimbloomfilters_spark.sketches import sketch_from_bytes
