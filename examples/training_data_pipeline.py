@@ -1,0 +1,82 @@
+"""End-to-end training-data pipeline demo over the sandbox testdata.
+
+Runs the full pre-tokenized pipeline with the library's public surface:
+
+  1. derive the (doc_id, tokens, n_tok, source) table
+  2. corpus stats via sketches (distinct tokens, heavy hitters, quantiles)
+  3. repetition quality filter
+  4. token-shingle MinHash near-dup removal
+  5. per-source token-budget mixture sample
+  6. context-window packing stats of the final mixture
+  7. Bloom filter of the final corpus' tokens (for later membership probes)
+
+Usage: python examples/training_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pimbloomfilters_spark.functions.dedup import token_minhash_near_dup_pairs  # noqa: E402
+from pimbloomfilters_spark.functions.packing import packing_stats  # noqa: E402
+from pimbloomfilters_spark.functions.text import token_repetition_stats  # noqa: E402
+from pimbloomfilters_spark.operators import build_sketch  # noqa: E402
+from pimbloomfilters_spark.operators.sampling import mixture_sample_tokens  # noqa: E402
+from pimbloomfilters_spark.session import get_spark  # noqa: E402
+from pimbloomfilters_spark.sketches import make_sketch  # noqa: E402
+from pimbloomfilters_spark.sources.tables import token_table, tokens_exploded  # noqa: E402
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark("pipeline-demo", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {"sf_dir": sf_dir}
+
+    tt = (token_table(spark, sf_dir)
+          .withColumn("doc_id", F.col("doc_id").cast("long")))
+    report["docs"] = tt.count()
+
+    tok = tokens_exploded(spark, sf_dir)
+    hll, _ = build_sketch(tok, "token_id",
+                          functools.partial(make_sketch, "hll", p=14))
+    kll, _ = build_sketch(tt, "n_tok",
+                          functools.partial(make_sketch, "kll", k=200))
+    report["distinct_tokens_est"] = round(hll.estimate(), 1)
+    report["n_tok_p50_est"] = kll.quantile(0.5)
+
+    rep_ok = (token_repetition_stats(tt)
+              .filter(F.col("dup_frac") <= 0.05).select("doc_id"))
+    kept = tt.join(rep_ok, "doc_id")
+    report["after_repetition_filter"] = kept.count()
+
+    drop = (token_minhash_near_dup_pairs(kept, threshold=0.7)
+            .select(F.col("doc_b").alias("doc_id")).distinct())
+    surv = kept.join(drop, "doc_id", "left_anti")
+    report["after_near_dup_removal"] = surv.count()
+
+    budgets = {r["source"]: 500 for r in surv.select("source").distinct().collect()}
+    mixed = mixture_sample_tokens(surv, budgets, "doc_id")
+    report["mixture_docs"] = mixed.count()
+    report["packing"] = [r.asDict() for r in
+                         packing_stats(mixed, 256).orderBy("source")
+                         .limit(3).collect()]
+
+    bloom, metrics = build_sketch(
+        mixed, "tokens", functools.partial(make_sketch, "bloom",
+                                           size2=22, nb_hash=8))
+    report["final_bloom_weight"] = bloom.get_weight()
+    report["build_metrics"] = {k: metrics[k] for k in ("n_rows", "n_values")}
+
+    print(json.dumps(report, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
