@@ -203,6 +203,37 @@ ORDER BY cnt DESC, token_id ASC LIMIT 10
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary coverage: distinct tokens used, occurrences,
+    and coverage of the global vocabulary in basis points — the lexical-
+    diversity-per-source signal of mixture curation. Integer math
+    end-to-end; one aggregation over the occurrence table plus a
+    vocabulary-sized scalar."""
+    tok = tokens_exploded(spark, sf_dir)
+    vocab_n = tok.select("token_id").distinct().count()
+    return (
+        tok.groupBy("source").agg(
+            F.countDistinct("token_id").alias("n_distinct_tokens"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .withColumn("vocab_size", F.lit(vocab_n).cast("long"))
+        .withColumn("coverage_bp", F.expr(
+            "CAST(n_distinct_tokens * 10000 div vocab_size AS INT)"))
+    )
+
+
+_ORACLE_VOCAB_COVERAGE = TOKENS_ORACLE_CTE + """
+, v AS (SELECT count(DISTINCT token_id) AS vocab FROM tok)
+SELECT source,
+       CAST(count(DISTINCT token_id) AS BIGINT) AS n_distinct_tokens,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST((SELECT vocab FROM v) AS BIGINT) AS vocab_size,
+       CAST(count(DISTINCT token_id) * 10000 // (SELECT vocab FROM v) AS INT)
+           AS coverage_bp
+FROM tok GROUP BY source
+"""
+
+
 def q_pipeline_tokens_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRE-TOKENIZED training-data pipeline as ONE composed query:
     repetition quality filter (dup_frac <= 0.05) -> token-shingle MinHash
@@ -1080,6 +1111,10 @@ CATALOG: dict[str, QuerySpec] = {
         q_pipeline_tokens_end_to_end, _ORACLE_PIPELINE_TOKENS,
         "tokens pipeline composed: repetition filter -> shingle near-dup "
         "removal -> token-budget mixture -> packing stats",
+    ),
+    "vocab_coverage": QuerySpec(
+        q_vocab_coverage, _ORACLE_VOCAB_COVERAGE,
+        "per-source vocabulary coverage in basis points, exact",
     ),
     "theta_source_similarity": QuerySpec(
         q_theta_source_similarity, _ORACLE_THETA_SOURCES,
