@@ -60,6 +60,37 @@ def pack_context_windows(df: DataFrame, ctx_len: int,
     )
 
 
+def _bfd_assign(sizes: list, ctx_len: int) -> list:
+    """Bin id per size for an already-sorted (desc) fitting-size sequence —
+    the sequential greedy at the heart of ``pack_bins_best_fit``, kept as a
+    module function so property tests drive the REAL placement code. Best
+    fit = smallest adequate residual (bisect over the sorted residual list,
+    O(log bins) search per doc); deterministic for a given input order."""
+    import bisect
+
+    residuals: list[int] = []   # sorted ascending
+    res_bins: list[int] = []    # bin id aligned with residuals
+    next_bin = 0
+    assigned = []
+    for s in sizes:
+        i = bisect.bisect_left(residuals, s)
+        if i == len(residuals):  # nothing fits: open a bin
+            assigned.append(next_bin)
+            bisect.insort(residuals, ctx_len - s)
+            # insort on equal keys places AFTER existing ones; keep the
+            # aligned bin list consistent by re-deriving the index
+            j = bisect.bisect_right(residuals, ctx_len - s) - 1
+            res_bins.insert(j, next_bin)
+            next_bin += 1
+        else:
+            b, r = res_bins.pop(i), residuals.pop(i) - s
+            assigned.append(b)
+            j = bisect.bisect_left(residuals, r)
+            residuals.insert(j, r)
+            res_bins.insert(j, b)
+    return assigned
+
+
 def pack_bins_best_fit(df: DataFrame, ctx_len: int,
                        n_tok_col: str = "n_tok",
                        id_col: str = "doc_id",
@@ -86,8 +117,6 @@ def pack_bins_best_fit(df: DataFrame, ctx_len: int,
     size groups (e.g. source x shard) to fit, exactly like
     ``pack_context_windows``. Within a group the placement loop is
     O(docs x log bins) via a bisect over sorted residual capacities."""
-    import bisect
-
     L = int(ctx_len)
     if L <= 0:
         raise ValueError(f"ctx_len must be positive, got {ctx_len}")
@@ -97,30 +126,9 @@ def pack_bins_best_fit(df: DataFrame, ctx_len: int,
 
         pdf = pdf[pdf["n_tok"] <= L].sort_values(
             ["n_tok", id_col], ascending=[False, True])
-        residuals: list[int] = []   # sorted ascending
-        res_bins: list[int] = []    # bin id aligned with residuals
-        next_bin = 0
-        assigned = []
-        for s in pdf["n_tok"].to_list():
-            i = bisect.bisect_left(residuals, s)
-            if i == len(residuals):  # nothing fits: open a bin
-                assigned.append(next_bin)
-                bisect.insort(residuals, L - s)
-                # insort on equal keys places AFTER existing ones; keep the
-                # aligned bin list consistent by re-deriving the index
-                j = bisect.bisect_right(residuals, L - s) - 1
-                res_bins.insert(j, next_bin)
-                next_bin += 1
-            else:
-                # best fit = smallest adequate residual; ties -> the bin
-                # listed first (lowest insertion position)
-                b, r = res_bins.pop(i), residuals.pop(i) - s
-                assigned.append(b)
-                j = bisect.bisect_left(residuals, r)
-                residuals.insert(j, r)
-                res_bins.insert(j, b)
         out = pdf[[id_col, by, "n_tok"]].copy()
-        out["bin_id"] = pd.array(assigned, dtype="int64")
+        out["bin_id"] = pd.array(_bfd_assign(pdf["n_tok"].to_list(), L),
+                                 dtype="int64")
         return out
 
     id_type = dict(df.dtypes)[id_col]

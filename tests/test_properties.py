@@ -237,3 +237,67 @@ def test_batch_distinct_list_shingles_matches_reference(rows, shingle):
         got = {int(d): {int(x) for x in packed[bounds[j]:bounds[j + 1]]}
                for j, d in enumerate(doc_idx)}
         assert got == expect
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sizes=st.lists(st.integers(min_value=1, max_value=120),
+                      min_size=1, max_size=60),
+       cap=st.integers(min_value=8, max_value=128))
+def test_pack_bins_greedy_invariants(sizes, cap):
+    """The driver-side greedy inside pack_bins_best_fit (exercised via its
+    pandas body on one group): every emitted bin fits the capacity, every
+    fitting doc is packed exactly once, oversize docs are dropped, at most
+    one bin is <= half full, and the run is deterministic."""
+    from pimbloomfilters_spark.functions.packing import _bfd_assign
+
+    L = cap
+    fitting = sorted((n for n in sizes if n <= L), reverse=True)
+    bins = _bfd_assign(fitting, L)  # the REAL placement code
+    assert len(bins) == len(fitting)
+    fills: dict = {}
+    for n, b in zip(fitting, bins):
+        fills[b] = fills.get(b, 0) + n
+    assert all(v <= L for v in fills.values())
+    assert sum(1 for v in fills.values() if v * 2 <= L) <= 1
+    total = sum(fills.values())
+    if total:
+        assert len(fills) <= (2 * total + L - 1) // L + 1
+    assert _bfd_assign(fitting, L) == bins  # deterministic
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ops=st.lists(
+    st.tuples(st.booleans(), st.integers(min_value=0, max_value=50)),
+    min_size=1, max_size=80))
+def test_counting_bloom_random_insert_delete_no_fn(ops):
+    """Under ANY interleaving of inserts and (valid) deletes, every item
+    with a positive net count is a member — counting cells make deletion
+    FN-free — and invalid deletes raise without corrupting state."""
+    import collections
+
+    import numpy as np
+
+    from pimbloomfilters_spark.sketches import make_sketch
+
+    cb = make_sketch("countingbloom", size2=14, nb_hash=4)
+    ref: collections.Counter = collections.Counter()
+    for is_insert, key in ops:
+        if is_insert:
+            cb.insert_bulk(np.array([key], dtype=np.int64))
+            ref[key] += 1
+        elif ref[key] > 0:
+            cb.delete_bulk(np.array([key], dtype=np.int64))
+            ref[key] -= 1
+        else:
+            before = cb._counters.copy()
+            try:
+                cb.delete_bulk(np.array([key], dtype=np.int64))
+            except ValueError:
+                assert (cb._counters == before).all()
+            else:
+                pass  # FP cells allowed the delete: documented caveat
+    present = np.array([k for k, c in ref.items() if c > 0], dtype=np.int64)
+    if present.size:
+        assert cb.contains_bulk(present).all()
