@@ -36,7 +36,6 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
