@@ -574,7 +574,37 @@ FROM generate_series(0, 199) AS g(x)
 """
 
 
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec gate: genuine RIFF/WAVE PCM clips (square waves
+    whose rate/length/amplitude/period are closed forms of the row id) are
+    decoded by the chunk-walking numpy parser; every extracted feature —
+    sample count, rate, duration, peak, energy, zero crossings — is an
+    exact integer the oracle recomputes from the id alone. Hash-equality
+    proves the codec round-trips byte-level and the features are right."""
+    mm = multimodal.synth_wav_audio(spark, 200, num_partitions=8)
+    return multimodal.audio_features(mm)
+
+
+_ORACLE_WAV = """
+SELECT CAST(x AS BIGINT) AS item_id,
+       CAST(800 + (x % 5) * 80 AS INT) AS n_samples,
+       CAST(8000 + (x % 3) * 4000 AS INT) AS sample_rate,
+       CAST((800 + (x % 5) * 80) * 1000 // (8000 + (x % 3) * 4000) AS BIGINT)
+           AS duration_ms,
+       CAST(1000 + (x % 7) * 500 AS INT) AS peak,
+       (800 + (x % 5) * 80) * CAST(1000 + (x % 7) * 500 AS BIGINT)
+           * (1000 + (x % 7) * 500) AS energy,
+       CAST(((800 + (x % 5) * 80) + (2 + (x % 4)) - 1) // (2 + (x % 4)) - 1
+            AS INT) AS zero_crossings
+FROM generate_series(0, 199) AS g(x)
+"""
+
+
 PIPELINE_CATALOG: dict[str, QuerySpec] = {
+    "multimodal_wav_decode": QuerySpec(
+        q_multimodal_wav_decode, _ORACLE_WAV,
+        "real RIFF/WAVE PCM decode: every audio feature an exact integer "
+        "recomputed by the oracle from the row id"),
     "lang_id": QuerySpec(q_lang_id, _ORACLE_LANG,
                          "stopword-profile language-ID heuristic"),
     "quality_counts": QuerySpec(q_quality_counts, _ORACLE_QUALITY,

@@ -301,3 +301,28 @@ def test_counting_bloom_random_insert_delete_no_fn(ops):
     present = np.array([k for k, c in ref.items() if c > 0], dtype=np.int64)
     if present.size:
         assert cb.contains_bulk(present).all()
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(samples=st.lists(st.integers(min_value=-32768, max_value=32767),
+                        min_size=0, max_size=300),
+       rate=st.sampled_from([8000, 16000, 44100]))
+def test_wav_codec_roundtrip_and_rejection(samples, rate):
+    """WAV encode/decode round-trips arbitrary int16 PCM exactly; corrupt
+    or non-PCM payloads are rejected, never silently mis-decoded."""
+    import numpy as np
+    import pytest as _pt
+
+    from pimbloomfilters_spark.functions.multimodal import decode_wav, encode_wav
+
+    s = np.array(samples, dtype=np.int16)
+    blob = encode_wav(s, rate)
+    back, r = decode_wav(blob)
+    assert r == rate and np.array_equal(back, s)
+    with _pt.raises(ValueError):
+        decode_wav(b"RIFX" + blob[4:])  # wrong magic
+    if len(blob) > 50:
+        with _pt.raises(ValueError):
+            # truncate inside the data chunk: declared size > available
+            decode_wav(blob[:-7])
