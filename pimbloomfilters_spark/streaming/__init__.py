@@ -5,6 +5,7 @@ from .stream_build import (
     sketch_stream_query,
     windowed_distinct_stream,
     windowed_heavy_hitters_stream,
+    session_stream,
     windowed_quantiles_stream,
 )
 
@@ -14,6 +15,7 @@ __all__ = [
     "sharded_dedup_stream",
     "windowed_distinct_stream",
     "windowed_heavy_hitters_stream",
+    "session_stream",
     "windowed_quantiles_stream",
     "dedup_stream_query",
 ]

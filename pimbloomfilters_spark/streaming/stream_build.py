@@ -17,10 +17,14 @@ Shapes:
    GroupState in the state store (nothing re-ships per batch, restart-safe
    transactionally with the offsets, memory scales out with n_shards).
 
-3. ``windowed_distinct_stream`` / ``windowed_heavy_hitters_stream`` —
-   applyInPandasWithState: per event-time window an HLL (distinct) or
-   Misra–Gries (heavy hitters) is GroupState; EventTimeTimeout evicts window
-   state once the watermark passes.
+3. ``windowed_distinct_stream`` / ``windowed_heavy_hitters_stream`` /
+   ``windowed_quantiles_stream`` — applyInPandasWithState: per event-time
+   window (tumbling or sliding) an HLL / Misra–Gries / KLL is GroupState;
+   EventTimeTimeout evicts window state once the watermark passes.
+
+4. ``session_stream`` — gap-based sessionization as per-user GroupState:
+   closed sessions emit on in-batch gaps or via EventTimeTimeout when the
+   user goes idle; state is one row per active user.
 """
 
 from __future__ import annotations
@@ -665,5 +669,95 @@ def windowed_distinct_stream(
         outputStructType=_WINDOW_OUT,
         stateStructType=_WINDOW_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+_SESS_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+])
+_SESS_STATE = StructType([
+    StructField("start_ms", LongType()),
+    StructField("last_ms", LongType()),
+    StructField("n_events", LongType()),
+])
+
+
+def session_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful twin of the batch
+    ``user_sessions`` query: per user, consecutive events closer than
+    ``gap`` belong to one session; a CLOSED session is emitted as
+    (user_id, session_start, session_end, n_events).
+
+    Mechanics: one GroupState row per user holds (start, last, count) of
+    the open session. Arriving events are processed in event-time order;
+    a gap inside the batch closes-and-emits immediately, and the final
+    open session closes via EventTimeTimeout once the watermark passes
+    last_event + gap (so sessions also close when a user simply stops).
+    Late events beyond the watermark are dropped by Spark upstream. State
+    is exactly one row per ACTIVE user — idle users are evicted with their
+    final session, so a long-running stream stays bounded."""
+    gap_ms = _duration_ms(gap)
+
+    src = (
+        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn("_u", F.col(user_col).cast("long"))
+        .select("_u", F.col(ts_col).alias("_ts"))
+    )
+
+    def _ts_out(ms: int):
+        return pd.Timestamp(ms, unit="ms")
+
+    def _update(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user], "session_start": [_ts_out(start_ms)],
+                "session_end": [_ts_out(last_ms)], "n_events": [n]})
+            return
+        ts = np.sort(np.concatenate([
+            pdf["_ts"].to_numpy(dtype="datetime64[ms]").astype(np.int64)
+            for pdf in pdfs
+        ]))
+        if ts.size == 0:
+            return
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:  # no prior state: the first event will open the session
+            start_ms, last_ms, n = int(ts[0]), int(ts[0]), 0
+        closed = []
+        for t in ts.tolist():
+            if n > 0 and t - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n))
+                start_ms, n = t, 0
+            elif n == 0:
+                start_ms = min(start_ms, t)
+            last_ms, n = max(last_ms, t), n + 1
+        state.update((int(start_ms), int(last_ms), int(n)))
+        state.setTimeoutTimestamp(int(last_ms) + gap_ms)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user] * len(closed),
+                "session_start": [_ts_out(s) for s, _, _ in closed],
+                "session_end": [_ts_out(e) for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed]})
+
+    return src.groupBy("_u").applyInPandasWithState(
+        _update,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

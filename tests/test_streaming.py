@@ -437,3 +437,58 @@ def test_windowed_distinct_stream_sliding(spark, sf_dir, tmp_path_factory):
     for w, d in exact.items():
         assert abs(got[w] - d) <= max(4 * 1.04 / (2**12) ** 0.5 * d, 3), \
             (w, got[w], d)
+
+
+def test_session_stream_matches_batch_sessions(spark, tmp_path_factory):
+    """Streaming gap sessionization == batch window sessionization for every
+    session the watermark has closed: sessions split at gaps > 30min, event
+    counts and boundaries exact."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from pimbloomfilters_spark.streaming import session_stream
+
+    base = dt.datetime(2025, 1, 1, 8, 0, 0)
+    rows = []
+    for u in range(5):
+        t = base + dt.timedelta(minutes=3 * u)
+        for s in range(3):            # 3 sessions per user
+            for e in range(4):        # 4 events, 10 min apart (no split)
+                rows.append((u, t))
+                t += dt.timedelta(minutes=10)
+            t += dt.timedelta(minutes=50)  # gap > 30min closes the session
+    # sentinel far in the future so the watermark passes every real session
+    rows.append((999, base + dt.timedelta(days=30)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    data_dir = str(tmp_path_factory.mktemp("sess_in"))
+    # two files -> two micro-batches; the watermark advances between them
+    df.filter(F.col("user_id") != 999).coalesce(1) \
+      .write.mode("append").parquet(data_dir)
+    df.filter(F.col("user_id") == 999).coalesce(1) \
+      .write.mode("append").parquet(data_dir)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(data_dir))
+    out = session_stream(stream, "ts", "user_id", gap="30 minutes",
+                         watermark="1 minute")
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.sql("select * from sess_out").collect()}
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        df.filter(F.col("user_id") != 999)
+        .withColumn("prev", F.lag("ts").over(w))
+        .withColumn("new_sess", (F.col("prev").isNull()) | (
+            F.col("ts").cast("long") - F.col("prev").cast("long") > 1800))
+        .withColumn("sess_id", F.sum(F.col("new_sess").cast("int")).over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"))
+    )
+    expect = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+              for r in batch.collect()}
+    assert got == expect and len(expect) == 15
