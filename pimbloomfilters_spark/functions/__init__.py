@@ -1,1 +1,1 @@
-from . import dedup, multimodal, packing, similarity, text  # noqa: F401
+from . import dedup, kmer, multimodal, packing, similarity, text  # noqa: F401

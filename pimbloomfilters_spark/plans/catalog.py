@@ -203,6 +203,94 @@ ORDER BY cnt DESC, token_id ASC LIMIT 10
 """
 
 
+# --- DNA k-mer gates: the reference's own application domain (read
+# screening by k-mer membership). Sequences are synthesized from a closed
+# form both engines compute; see functions/kmer.py. ---
+_KMER_K = 21
+_KMER_POWERS = "[" + ",".join(str(4 ** (_KMER_K - 1 - m))
+                              for m in range(_KMER_K)) + "]"
+_KMER_LEN, _KMER_NREF, _KMER_NREAD, _KMER_NCONT = 200, 100, 60, 40
+# contaminants use a different per-position STRIDE (the residue pattern is
+# periodic in x mod 2000, so a mere shift would stay inside the reference
+# population — measured: stride 41 shares ZERO k-mers with the stride-37
+# reference set, while same-stride reads share ~100%)
+_KMER_SHIFT, _KMER_STRIDE2 = 505, 41
+
+
+def _kmer_code_cte(ids_lo: int, ids_hi: int, shift: int,
+                   alias: str, stride: int = 37) -> str:
+    """SQL fragment: distinct (seq_id, code) of every valid k-mer of the
+    synthetic sequences ids_lo..ids_hi (inclusive) with the given shift —
+    the exact integer twin of synth_dna + dna_kmers (packing base-4
+    big-endian via a literal power table, like the Karp-Rabin oracle)."""
+    return f"""
+{alias} AS (
+  SELECT DISTINCT i AS seq_id,
+         CAST(list_sum(list_transform(generate_series(0, {_KMER_K - 1}),
+              m -> (((i*211 + (p+m)*{stride} + {shift})
+                     * (i*211 + (p+m)*{stride} + {shift})) // 1000) % 4
+                   * ({_KMER_POWERS})[m + 1])) AS BIGINT) AS code
+  FROM generate_series({ids_lo}, {ids_hi}) g(i),
+       generate_series(0, {_KMER_LEN - _KMER_K}) h(p)
+)"""
+
+
+def q_dna_kmer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct k-mers per synthetic genome through the REAL extraction
+    path (string -> byte map -> packed codes), hash-equal to the closed
+    form. Exercises the 2-bit packing bijection end-to-end."""
+    from ..functions.kmer import dna_kmers, synth_dna
+
+    dna = synth_dna(spark, _KMER_NREF, _KMER_LEN)
+    return (dna_kmers(dna, k=_KMER_K).groupBy("seq_id")
+            .agg(F.count("*").cast("int").alias("n_distinct")))
+
+
+_ORACLE_KMER_STATS = "WITH " + _kmer_code_cte(0, _KMER_NREF - 1, 0, "km") + """
+SELECT seq_id, CAST(count(*) AS INT) AS n_distinct FROM km GROUP BY seq_id
+"""
+
+
+def q_kmer_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference workflow (BioPIM read screening): insert a reference
+    set's k-mers into a Bloom filter, probe each read's k-mers, count
+    matches per read. Reads from the same population match nearly all
+    k-mers; shifted contaminant reads match nearly none. Per-read counts
+    are exact at the gated zero-FP geometry — the oracle recomputes them
+    with a set join the Spark side never performs (the filter replaces the
+    join: two scans + a shipped 2 MB filter instead of shuffling reference
+    k-mers against read k-mers)."""
+    from ..functions.kmer import dna_kmers, synth_dna
+
+    ref = synth_dna(spark, _KMER_NREF, _KMER_LEN)
+    reads = synth_dna(spark, _KMER_NREAD, _KMER_LEN, id_offset=100)
+    cont = synth_dna(spark, _KMER_NCONT, _KMER_LEN, shift=_KMER_SHIFT,
+                     id_offset=1000, stride=_KMER_STRIDE2)
+    sk, _ = build_sketch(dna_kmers(ref, k=_KMER_K), "kmer",
+                         functools.partial(make_sketch, "bloom",
+                                           **_GATED_BLOOM))
+    probes = dna_kmers(reads.unionAll(cont), k=_KMER_K)
+    probed = probe_key_column(probes, sk, "kmer")
+    return probed.groupBy("seq_id").agg(
+        F.count("*").cast("int").alias("n_kmers"),
+        F.sum(F.col("member").cast("int")).cast("int").alias("n_matched"))
+
+
+_ORACLE_KMER_SCREEN = "WITH " \
+    + _kmer_code_cte(0, _KMER_NREF - 1, 0, "ref") + "," \
+    + _kmer_code_cte(100, 100 + _KMER_NREAD - 1, 0, "reads") + "," \
+    + _kmer_code_cte(1000, 1000 + _KMER_NCONT - 1, _KMER_SHIFT, "cont",
+                     stride=_KMER_STRIDE2) + """,
+probes AS (SELECT * FROM reads UNION ALL SELECT * FROM cont),
+refset AS (SELECT DISTINCT code FROM ref)
+SELECT p.seq_id, CAST(count(*) AS INT) AS n_kmers,
+       CAST(sum(CASE WHEN r.code IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS n_matched
+FROM probes p LEFT JOIN refset r USING (code)
+GROUP BY p.seq_id
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary coverage: distinct tokens used, occurrences,
     and coverage of the global vocabulary in basis points — the lexical-
@@ -1115,6 +1203,15 @@ CATALOG: dict[str, QuerySpec] = {
     "vocab_coverage": QuerySpec(
         q_vocab_coverage, _ORACLE_VOCAB_COVERAGE,
         "per-source vocabulary coverage in basis points, exact",
+    ),
+    "dna_kmer_stats": QuerySpec(
+        q_dna_kmer_stats, _ORACLE_KMER_STATS,
+        "distinct 2-bit-packed k-mers per synthetic genome, exact",
+    ),
+    "kmer_bloom_screen": QuerySpec(
+        q_kmer_bloom_screen, _ORACLE_KMER_SCREEN,
+        "the reference workflow: per-read k-mer match counts against a "
+        "reference Bloom filter, exact at gated geometry",
     ),
     "theta_source_similarity": QuerySpec(
         q_theta_source_similarity, _ORACLE_THETA_SOURCES,

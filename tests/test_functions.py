@@ -641,3 +641,41 @@ def test_operators_handle_empty_input(spark):
     assert tfidf_top_terms(occ).count() == 0
     assert bm25_rank(occ, [1, 2]).count() == 0
     assert similarity.cosine_topk_blocked(emb, emb, k=3).count() == 0
+
+
+def test_dna_kmers_and_screen_discrimination(spark):
+    """k-mer extraction matches a per-seq Python reference (2-bit packing,
+    N masking); same-population reads match ~all reference k-mers through
+    the Bloom screen while different-stride contaminants match none."""
+    from pimbloomfilters_spark.functions.kmer import dna_kmers, synth_dna
+    from pimbloomfilters_spark.plans.catalog import q_kmer_bloom_screen
+
+    df = spark.createDataFrame(
+        [(1, "ACGTACGTAC"), (2, "ACGNTACGTA"), (3, "AC"), (4, None)],
+        "seq_id long, seq string")
+    got = {}
+    for r in dna_kmers(df, k=4).collect():
+        got.setdefault(r["seq_id"], set()).add(r["kmer"])
+
+    def ref(s):
+        out = set()
+        for p in range(len(s) - 3):
+            w = s[p:p + 4]
+            if set(w) <= set("ACGT"):
+                v = 0
+                for ch in w:
+                    v = (v << 2) | "ACGT".index(ch)
+                out.add(v)
+        return out
+
+    assert got[1] == ref("ACGTACGTAC")
+    assert got[2] == ref("ACGNTACGTA")  # N windows dropped
+    assert 3 not in got and 4 not in got
+    with pytest.raises(ValueError):
+        dna_kmers(df, k=32)
+
+    pdf = q_kmer_bloom_screen(spark, "").toPandas()
+    reads = pdf[pdf.seq_id < 1000]
+    cont = pdf[pdf.seq_id >= 1000]
+    assert (reads.n_matched == reads.n_kmers).all()   # same population
+    assert (cont.n_matched == 0).all()                # disjoint stride
