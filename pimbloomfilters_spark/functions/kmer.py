@@ -38,10 +38,13 @@ for _b, _c in zip(b"ACGT", range(4)):
     _BASE_MAP[_b] = _c
 
 
-def _batch_distinct_kmers(seqs: list, k: int):
+def _batch_distinct_kmers(seqs: list, k: int, canonical: bool = False):
     """Distinct packed k-mer codes for every sequence of a batch in one
     vectorized pass. Returns (packed, starts, doc_idx) with the
-    ``_batch_distinct_grams`` contract."""
+    ``_batch_distinct_grams`` contract. ``canonical=True`` replaces each
+    code with min(code, reverse-complement code) — the strand-insensitive
+    convention real genomics pipelines count (complement = 3 - base in the
+    2-bit coding, order reversed), computed in the SAME loop."""
     enc = [(s or "").encode("ascii", "replace") for s in seqs]
     lens = np.array([len(e) for e in enc], dtype=np.int64)
     total = int(lens.sum())
@@ -52,11 +55,19 @@ def _batch_distinct_kmers(seqs: list, k: int):
     flat = _BASE_MAP[np.frombuffer(b"".join(enc), dtype=np.uint8)]
     w = np.lib.stride_tricks.sliding_window_view(flat, k)
     packed = np.zeros(w.shape[0], dtype=np.uint64)
+    rc = np.zeros(w.shape[0], dtype=np.uint64)
     bad = np.zeros(w.shape[0], dtype=bool)
     for i in range(k):
         col = w[:, i]
         bad |= col == 255
         packed = (packed << np.uint64(2)) | col.astype(np.uint64)
+        if canonical:
+            # base i of the forward strand contributes (3 - base) at
+            # mirrored position k-1-i of the RC, i.e. bit-shift 2*i
+            rc |= ((np.uint64(3) - (w[:, i] & np.uint64(3)).astype(np.uint64))
+                   << np.uint64(2 * i))
+    if canonical:
+        packed = np.minimum(packed, rc)
     ends = np.cumsum(lens)
     pos = np.arange(w.shape[0], dtype=np.int64)
     doc = np.repeat(np.arange(len(enc), dtype=np.int64), lens)[:w.shape[0]]
@@ -73,10 +84,11 @@ def _batch_distinct_kmers(seqs: list, k: int):
 
 
 def dna_kmers(df: DataFrame, seq_col: str = "seq", k: int = 21,
-              id_col: str = "seq_id") -> DataFrame:
+              id_col: str = "seq_id", canonical: bool = False) -> DataFrame:
     """(seq_id, kmer long): DISTINCT 2-bit-packed k-mers per sequence.
     k <= 31 so the packing is a bijection into int64; windows containing a
-    non-ACGT byte are dropped. Linear mapInArrow scan — the 100 TB shape is
+    non-ACGT byte are dropped; ``canonical=True`` counts strand-insensitive
+    min(kmer, revcomp) codes. Linear mapInArrow scan — the 100 TB shape is
     a single pass over the sequence set, exactly like the text-gram
     extractors."""
     if not (1 <= k <= 31):
@@ -86,7 +98,7 @@ def dna_kmers(df: DataFrame, seq_col: str = "seq", k: int = 21,
         for b in batches:
             ids = b.column(0)
             seqs = b.column(1).to_pylist()
-            packed, starts, doc_idx = _batch_distinct_kmers(seqs, k)
+            packed, starts, doc_idx = _batch_distinct_kmers(seqs, k, canonical)
             cnt = np.zeros(len(seqs), dtype=np.int64)
             if packed.size:
                 cnt[doc_idx] = np.diff(np.r_[starts, packed.size])

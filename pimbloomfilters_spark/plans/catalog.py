@@ -235,6 +235,37 @@ def _kmer_code_cte(ids_lo: int, ids_hi: int, shift: int,
 )"""
 
 
+def q_dna_kmer_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strand-insensitive (canonical) distinct k-mers per genome: each code
+    is min(kmer, reverse-complement) — the convention genomics pipelines
+    count. Oracle recomputes both strands' codes from the closed form and
+    takes least()."""
+    from ..functions.kmer import dna_kmers, synth_dna
+
+    dna = synth_dna(spark, _KMER_NREF, _KMER_LEN)
+    return (dna_kmers(dna, k=_KMER_K, canonical=True).groupBy("seq_id")
+            .agg(F.count("*").cast("int").alias("n_canonical")))
+
+
+_ORACLE_KMER_CANON = f"""
+WITH km AS (
+  SELECT DISTINCT i AS seq_id,
+         least(
+           CAST(list_sum(list_transform(generate_series(0, {_KMER_K - 1}),
+                m -> (((i*211 + (p+m)*37) * (i*211 + (p+m)*37)) // 1000) % 4
+                     * ({_KMER_POWERS})[m + 1])) AS BIGINT),
+           CAST(list_sum(list_transform(generate_series(0, {_KMER_K - 1}),
+                m -> (3 - (((i*211 + (p + {_KMER_K - 1} - m)*37)
+                            * (i*211 + (p + {_KMER_K - 1} - m)*37)) // 1000) % 4)
+                     * ({_KMER_POWERS})[m + 1])) AS BIGINT)
+         ) AS code
+  FROM generate_series(0, {_KMER_NREF - 1}) g(i),
+       generate_series(0, {_KMER_LEN - _KMER_K}) h(p)
+)
+SELECT seq_id, CAST(count(*) AS INT) AS n_canonical FROM km GROUP BY seq_id
+"""
+
+
 def q_dna_kmer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct k-mers per synthetic genome through the REAL extraction
     path (string -> byte map -> packed codes), hash-equal to the closed
@@ -1212,6 +1243,10 @@ CATALOG: dict[str, QuerySpec] = {
         q_kmer_bloom_screen, _ORACLE_KMER_SCREEN,
         "the reference workflow: per-read k-mer match counts against a "
         "reference Bloom filter, exact at gated geometry",
+    ),
+    "dna_kmer_canonical": QuerySpec(
+        q_dna_kmer_canonical, _ORACLE_KMER_CANON,
+        "strand-insensitive canonical k-mer counts, exact",
     ),
     "theta_source_similarity": QuerySpec(
         q_theta_source_similarity, _ORACLE_THETA_SOURCES,

@@ -679,3 +679,22 @@ def test_dna_kmers_and_screen_discrimination(spark):
     cont = pdf[pdf.seq_id >= 1000]
     assert (reads.n_matched == reads.n_kmers).all()   # same population
     assert (cont.n_matched == 0).all()                # disjoint stride
+
+
+def test_dna_kmers_canonical(spark):
+    """Canonical codes are strand-insensitive: a sequence and its reverse
+    complement yield IDENTICAL canonical k-mer sets."""
+    from pimbloomfilters_spark.functions.kmer import dna_kmers
+
+    s = "ACGGTTACGTAACCGGTT"
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[c] for c in reversed(s))
+    df = spark.createDataFrame([(1, s), (2, rc)], "seq_id long, seq string")
+    got = {}
+    for r in dna_kmers(df, k=5, canonical=True).collect():
+        got.setdefault(r["seq_id"], set()).add(r["kmer"])
+    assert got[1] == got[2] and got[1]
+    fwd = {}
+    for r in dna_kmers(df, k=5).collect():
+        fwd.setdefault(r["seq_id"], set()).add(r["kmer"])
+    assert fwd[1] != fwd[2]  # forward codes differ; canonical unify them
