@@ -133,6 +133,17 @@ def main() -> int:
     s.add_argument("--top", type=int, default=20)
     s.add_argument("--out", required=True)
 
+    km = sub.add_parser(
+        "kmers",
+        help="extract distinct 2-bit-packed DNA k-mers per sequence from a "
+             "(seq_id, seq) parquet; --canonical for strand-insensitive")
+    km.add_argument("--input", required=True)
+    km.add_argument("--k", type=int, default=21)
+    km.add_argument("--canonical", action="store_true")
+    km.add_argument("--seq-col", default="seq")
+    km.add_argument("--id-col", default="seq_id")
+    km.add_argument("--out", required=True)
+
     c = sub.add_parser(
         "combine",
         help="merge or subtract two sketch files of identical geometry "
@@ -210,6 +221,18 @@ def main() -> int:
         return 0
 
     df = spark.read.parquet(args.input)
+
+    if args.cmd == "kmers":
+        from pimbloomfilters_spark.functions.kmer import dna_kmers
+
+        out = dna_kmers(df, seq_col=args.seq_col, k=args.k,
+                        id_col=args.id_col, canonical=args.canonical)
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "k": args.k,
+                          "canonical": args.canonical, "kmers": n}))
+        spark.stop()
+        return 0
 
     if args.cmd == "search":
         from pimbloomfilters_spark.functions.text import bm25_rank
