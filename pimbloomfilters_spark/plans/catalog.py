@@ -235,6 +235,25 @@ def _kmer_code_cte(ids_lo: int, ids_hi: int, shift: int,
 )"""
 
 
+def q_kmer_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genome-size estimation — the canonical sketch use in genomics: the
+    HLL estimate of the reference set's GLOBAL distinct k-mer count vs the
+    exact value (oracle = same count via the closed form), within the
+    published bound."""
+    from ..functions.kmer import dna_kmers, synth_dna
+
+    km = dna_kmers(synth_dna(spark, _KMER_NREF, _KMER_LEN), k=_KMER_K)
+    exact = km.select("kmer").distinct().count()
+    return _hll_query(spark, km, "kmer", exact, "exact_distinct_kmers")
+
+
+_ORACLE_KMER_HLL = "WITH " + _kmer_code_cte(0, _KMER_NREF - 1, 0, "km") + """
+SELECT CAST(count(DISTINCT code) AS BIGINT) AS exact_distinct_kmers,
+       TRUE AS within_bound
+FROM km
+"""
+
+
 def q_dna_kmer_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strand-insensitive (canonical) distinct k-mers per genome: each code
     is min(kmer, reverse-complement) — the convention genomics pipelines
@@ -1247,6 +1266,10 @@ CATALOG: dict[str, QuerySpec] = {
     "dna_kmer_canonical": QuerySpec(
         q_dna_kmer_canonical, _ORACLE_KMER_CANON,
         "strand-insensitive canonical k-mer counts, exact",
+    ),
+    "kmer_distinct_hll": QuerySpec(
+        q_kmer_distinct_hll, _ORACLE_KMER_HLL,
+        "genome-size estimation: HLL distinct k-mers within bound vs exact",
     ),
     "theta_source_similarity": QuerySpec(
         q_theta_source_similarity, _ORACLE_THETA_SOURCES,
