@@ -242,9 +242,12 @@ def q_kmer_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     published bound."""
     from ..functions.kmer import dna_kmers, synth_dna
 
-    km = dna_kmers(synth_dna(spark, _KMER_NREF, _KMER_LEN), k=_KMER_K)
+    km = dna_kmers(synth_dna(spark, _KMER_NREF, _KMER_LEN),
+                   k=_KMER_K).cache()  # scanned twice: exact + build
     exact = km.select("kmer").distinct().count()
-    return _hll_query(spark, km, "kmer", exact, "exact_distinct_kmers")
+    out = _hll_query(spark, km, "kmer", exact, "exact_distinct_kmers")
+    km.unpersist()
+    return out
 
 
 _ORACLE_KMER_HLL = "WITH " + _kmer_code_cte(0, _KMER_NREF - 1, 0, "km") + """
