@@ -140,3 +140,30 @@ def synth_dna(spark: SparkSession, n_seqs: int = 500, seq_len: int = 200,
     # range over the FINAL ids so content is a pure function of seq_id
     return spark.range(id_offset, id_offset + n_seqs).select(
         F.col("id").alias("seq_id"), F.array_join(arr, "").alias("seq"))
+
+
+def kmer_minhash_signatures(df: DataFrame, k: int = 21,
+                            seq_col: str = "seq", id_col: str = "seq_id",
+                            num_hashes: int = 256, seed: int = 7,
+                            canonical: bool = True) -> DataFrame:
+    """(seq_id, sig array<long>): MinHash signature over each sequence's
+    distinct (canonical) k-mer set — the Mash sketch (Ondov et al. 2016,
+    "Mash: fast genome and metagenome distance estimation using MinHash"):
+    signature agreement estimates k-mer Jaccard, from which the Mash
+    distance d = -ln(2j/(1+j))/k follows. Reuses the dedup module's
+    splitmix-stream signature machinery over the packed k-mer codes — one
+    linear scan per sequence set, signatures are ``num_hashes`` longs
+    however large the genome."""
+    from .dedup import _minhash_record_batch
+
+    def _sig(batches):
+        for b in batches:
+            seqs = b.column(1).to_pylist()
+            packed, starts, doc_idx = _batch_distinct_kmers(seqs, k, canonical)
+            yield _minhash_record_batch(b.column(0), len(seqs), packed,
+                                        starts, doc_idx, num_hashes, seed,
+                                        False)
+
+    return df.select(id_col, seq_col).mapInArrow(
+        _sig, "doc_id long, sig array<long>").withColumnRenamed(
+        "doc_id", "seq_id")

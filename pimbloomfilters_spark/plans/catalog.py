@@ -344,6 +344,72 @@ GROUP BY p.seq_id
 """
 
 
+_MASH_NSEQ, _MASH_H = 30, 256
+
+
+def q_mash_genome_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mash-style genome similarity (Ondov 2016): every sequence pair's
+    EXACT canonical-k-mer Jaccard (int/int, oracle-reproducible) alongside
+    a boolean asserting the 256-slot MinHash sketch estimate lands within
+    the binomial 4-sigma envelope of it — the sketch needs only 256 longs
+    per genome where the exact join needs every k-mer."""
+    from ..functions.kmer import dna_kmers, kmer_minhash_signatures, synth_dna
+
+    dna = synth_dna(spark, _MASH_NSEQ, _KMER_LEN)
+    km = dna_kmers(dna, k=_KMER_K, canonical=True).cache()
+    a = km.select(F.col("seq_id").alias("seq_a"), "kmer")
+    b = km.select(F.col("seq_id").alias("seq_b"), "kmer")
+    inter = (a.join(b, "kmer").filter("seq_a < seq_b")
+             .groupBy("seq_a", "seq_b").agg(F.count("*").alias("inter")))
+    sizes = km.groupBy("seq_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("seq_id").alias("seq_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("seq_id").alias("seq_b"), F.col("sz").alias("szb"))
+    sigs = kmer_minhash_signatures(dna, k=_KMER_K, num_hashes=_MASH_H)
+    ga = sigs.select(F.col("seq_id").alias("seq_a"), F.col("sig").alias("sig_a"))
+    gb = sigs.select(F.col("seq_id").alias("seq_b"), F.col("sig").alias("sig_b"))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                           lambda v: v)) / F.lit(_MASH_H))
+    jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    envelope = (4 * F.sqrt(jac * (1 - jac) / _MASH_H) + F.lit(8.0 / _MASH_H))
+    return (
+        inter.join(sa, "seq_a").join(sb, "seq_b")
+        .join(ga, "seq_a").join(gb, "seq_b")
+        .withColumn("jaccard", jac)
+        .withColumn("est_ok", F.abs(est - jac) <= envelope)
+        .select("seq_a", "seq_b", "jaccard", "est_ok")
+    )
+
+
+_ORACLE_MASH = f"""
+WITH km AS (
+  SELECT DISTINCT i AS seq_id,
+         least(
+           CAST(list_sum(list_transform(generate_series(0, {_KMER_K - 1}),
+                m -> (((i*211 + (p+m)*37) * (i*211 + (p+m)*37)) // 1000) % 4
+                     * ({_KMER_POWERS})[m + 1])) AS BIGINT),
+           CAST(list_sum(list_transform(generate_series(0, {_KMER_K - 1}),
+                m -> (3 - (((i*211 + (p + {_KMER_K - 1} - m)*37)
+                            * (i*211 + (p + {_KMER_K - 1} - m)*37)) // 1000) % 4)
+                     * ({_KMER_POWERS})[m + 1])) AS BIGINT)
+         ) AS code
+  FROM generate_series(0, {_MASH_NSEQ - 1}) g(i),
+       generate_series(0, {_KMER_LEN - _KMER_K}) h(p)
+),
+sizes AS (SELECT seq_id, count(*) AS sz FROM km GROUP BY seq_id),
+inter AS (
+  SELECT a.seq_id AS seq_a, b.seq_id AS seq_b, count(*) AS i
+  FROM km a JOIN km b USING (code)
+  WHERE a.seq_id < b.seq_id GROUP BY 1, 2
+)
+SELECT i.seq_a, i.seq_b,
+       i.i * 1.0 / (sa.sz + sb.sz - i.i) AS jaccard,
+       TRUE AS est_ok
+FROM inter i
+JOIN sizes sa ON sa.seq_id = i.seq_a
+JOIN sizes sb ON sb.seq_id = i.seq_b
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary coverage: distinct tokens used, occurrences,
     and coverage of the global vocabulary in basis points — the lexical-
@@ -1273,6 +1339,11 @@ CATALOG: dict[str, QuerySpec] = {
     "kmer_distinct_hll": QuerySpec(
         q_kmer_distinct_hll, _ORACLE_KMER_HLL,
         "genome-size estimation: HLL distinct k-mers within bound vs exact",
+    ),
+    "mash_genome_similarity": QuerySpec(
+        q_mash_genome_similarity, _ORACLE_MASH,
+        "Mash: exact pairwise k-mer Jaccard + MinHash estimate within the "
+        "binomial envelope",
     ),
     "theta_source_similarity": QuerySpec(
         q_theta_source_similarity, _ORACLE_THETA_SOURCES,

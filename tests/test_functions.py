@@ -698,3 +698,22 @@ def test_dna_kmers_canonical(spark):
     for r in dna_kmers(df, k=5).collect():
         fwd.setdefault(r["seq_id"], set()).add(r["kmer"])
     assert fwd[1] != fwd[2]  # forward codes differ; canonical unify them
+
+
+def test_kmer_minhash_identical_and_disjoint(spark):
+    """Mash signatures: identical genomes agree on every slot; disjoint
+    (different-stride) genomes agree on ~none."""
+    from pimbloomfilters_spark.functions.kmer import (
+        kmer_minhash_signatures, synth_dna)
+
+    a = synth_dna(spark, 2, 150)                      # seqs 0, 1
+    b = synth_dna(spark, 1, 150, stride=41, id_offset=50)  # disjoint pop
+    sigs = {r["seq_id"]: r["sig"] for r in
+            kmer_minhash_signatures(a.unionAll(b), k=15,
+                                    num_hashes=128).collect()}
+    same = synth_dna(spark, 2, 150)
+    sigs2 = {r["seq_id"]: r["sig"] for r in
+             kmer_minhash_signatures(same, k=15, num_hashes=128).collect()}
+    assert sigs[0] == sigs2[0]  # deterministic
+    agree_0_50 = sum(x == y for x, y in zip(sigs[0], sigs[50]))
+    assert agree_0_50 <= 5, agree_0_50  # disjoint kmer sets
