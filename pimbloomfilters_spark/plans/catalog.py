@@ -599,6 +599,30 @@ ORDER BY cnt DESC, token_id ASC LIMIT 10
 """
 
 
+def q_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frequency moment (skew / self-join size) of the token stream:
+    the AMS estimate read straight off the Count-Sketch table vs the exact
+    sum of squared counts, within 5 relative sd (sd ~ sqrt(2/width))."""
+    import math as _math
+
+    tok = tokens_exploded(spark, sf_dir)
+    sk, _ = build_sketch(
+        tok, "token_id",
+        functools.partial(make_sketch, "countsketch", width=8192, depth=5))
+    exact = int(tok.groupBy("token_id").agg(F.count("*").alias("c"))
+                .agg(F.sum(F.col("c") * F.col("c"))).collect()[0][0])
+    est = sk.f2_estimate()
+    ok = abs(est - exact) <= 5 * _math.sqrt(2.0 / sk.width) * exact
+    return spark.createDataFrame(
+        [(exact, bool(ok))], "exact_f2 bigint, within_bound boolean")
+
+
+_ORACLE_F2 = TOKENS_ORACLE_CTE + """
+, c AS (SELECT token_id, count(*) AS c FROM tok GROUP BY token_id)
+SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2, TRUE AS within_bound FROM c
+"""
+
+
 def _bigram_codes():
     """In-doc token-bigram codes — the shared coding (text.token_bigram_codes)
     used by the CMS-bigram, theta-overlap, and repetition gates: the encoding
@@ -1308,6 +1332,10 @@ CATALOG: dict[str, QuerySpec] = {
     "countsketch_heavy_hitters": QuerySpec(
         q_countsketch_heavy_hitters, _ORACLE_COUNTSKETCH,
         "Count-Sketch unbiased top-10 estimates within 3*sqrt(F2/width)",
+    ),
+    "f2_moment": QuerySpec(
+        q_f2_moment, _ORACLE_F2,
+        "AMS second-moment estimate off the Count-Sketch table vs exact",
     ),
     "counting_bloom_delete": QuerySpec(
         q_counting_bloom_delete, _ORACLE_COUNTING_BLOOM,

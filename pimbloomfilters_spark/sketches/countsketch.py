@@ -78,6 +78,16 @@ class CountSketch(Sketch):
     def query(self, value) -> int:
         return int(self.query_bulk(np.asarray([value]))[0])
 
+    def f2_estimate(self) -> float:
+        """Second frequency moment F2 = sum_x f_x^2 — the AMS estimator
+        (Alon, Matias & Szegedy 1996) falls out of the Count Sketch table
+        for free: each row's sum of squared cells is an UNBIASED F2
+        estimate (cross terms vanish in expectation under the ±1 signs,
+        relative sd <= sqrt(2/width)), and the median over the depth rows
+        concentrates it. F2 drives skew detection and join-size estimates."""
+        return float(np.median((self._table.astype(np.float64) ** 2)
+                               .sum(axis=1)))
+
     def merge(self, other: "CountSketch") -> "CountSketch":
         self._check_mergeable(other)
         self._table += other._table

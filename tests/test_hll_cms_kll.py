@@ -526,3 +526,24 @@ def test_countsketch_through_grouped_and_streaming_builds(spark, sf_dir,
     streamed = get_stream_sketch("cs_fold")
     assert np.array_equal(streamed._table, batch._table)
     assert streamed.total == batch.total
+
+
+def test_countsketch_f2_estimate():
+    """AMS F2 off the Count-Sketch table: within 5 relative sd of the exact
+    second moment on a zipf stream, and exactly n for n distinct items."""
+    import collections
+
+    import numpy as np
+
+    from pimbloomfilters_spark.sketches import make_sketch
+
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.5, 50_000).astype(np.int64)
+    sk = make_sketch("countsketch", width=4096, depth=5)
+    sk.insert_bulk(vals)
+    exact = sum(c * c for c in collections.Counter(vals.tolist()).values())
+    assert abs(sk.f2_estimate() - exact) <= 5 * (2 / 4096) ** 0.5 * exact
+    distinct = make_sketch("countsketch", width=4096, depth=5)
+    distinct.insert_bulk(np.arange(1000, dtype=np.int64))
+    # all-distinct stream: F2 == n exactly in expectation, tight in practice
+    assert abs(distinct.f2_estimate() - 1000) <= 5 * (2 / 4096) ** 0.5 * 1000
