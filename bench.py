@@ -331,7 +331,8 @@ def run_scaling() -> None:
     preserved = ""
     if os.path.exists(bench_path):
         old = open(bench_path).read()
-        for marker in ("**A second independent run", "**Noise note**",
+        for marker in ("**Two earlier independent runs",
+                       "**A second independent run", "**Noise note**",
                        "## Scale smoke"):
             if marker in old:
                 preserved = old[old.index(marker):]
