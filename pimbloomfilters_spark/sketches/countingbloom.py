@@ -74,12 +74,26 @@ class CountingBloomFilter(Sketch):
         were inserted (see module docstring); an underflow raises and the
         filter state is left unchanged."""
         values = np.asarray(values)
+        # validate EVERY chunk before applying ANY (the all-or-nothing
+        # promise must hold across chunk boundaries too): stage the
+        # (cell, decrement) pairs, accumulate cross-chunk decrements, then
+        # apply only if the whole batch fits
+        staged = []
+        total_dec: dict[int, int] = {}
         for lo in range(0, values.size, self._CHUNK):
             pos = self._positions(values[lo:lo + self._CHUNK])
             u, dec = np.unique(pos, return_counts=True)  # O(chunk log chunk)
-            if (self._counters[u] < dec).any():
-                raise ValueError(
-                    "delete of a non-inserted item (counter underflow)")
+            staged.append((u, dec))
+            for cell, d in zip(u.tolist(), dec.tolist()):
+                total_dec[cell] = total_dec.get(cell, 0) + d
+        cells = np.fromiter(total_dec.keys(), dtype=np.int64,
+                            count=len(total_dec))
+        decs = np.fromiter(total_dec.values(), dtype=np.int64,
+                           count=len(total_dec))
+        if cells.size and (self._counters[cells] < decs).any():
+            raise ValueError(
+                "delete of a non-inserted item (counter underflow)")
+        for u, dec in staged:
             self._counters[u] -= dec.astype(np.uint16)
         self.n_items -= int(values.size)
 

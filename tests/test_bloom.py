@@ -254,3 +254,29 @@ def test_counting_bloom_delete_semantics():
     back = sketch_from_bytes(cb.to_bytes())
     assert np.array_equal(back._counters, cb._counters)
     assert back.n_items == cb.n_items
+
+
+def test_counting_bloom_multi_chunk_delete_atomic():
+    """A delete batch spanning multiple chunks that fails validation must
+    leave the filter byte-identical (all-or-nothing across chunks)."""
+    import numpy as np
+
+    from pimbloomfilters_spark.sketches import CountingBloomFilter, make_sketch
+
+    cb = make_sketch("countingbloom", size2=16, nb_hash=4)
+    keys = np.arange(5000, dtype=np.int64)
+    cb.insert_bulk(keys)
+    CountingBloomFilter._CHUNK, saved = 1024, CountingBloomFilter._CHUNK
+    try:
+        before = cb._counters.copy()
+        # valid keys in early chunks, a non-member in the LAST chunk
+        bad = np.concatenate([keys[:4000], np.array([10**9])])
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            cb.delete_bulk(bad)
+        assert np.array_equal(cb._counters, before), "partial delete applied"
+        cb.delete_bulk(keys[:4000])  # the valid prefix alone still works
+        assert cb.contains_bulk(keys[4000:]).all()
+    finally:
+        CountingBloomFilter._CHUNK = saved
