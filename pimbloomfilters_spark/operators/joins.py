@@ -58,3 +58,51 @@ def bloom_runtime_filter_join(
     pre = bloom_prefilter(fact, sk, fact_key)
     right = F.broadcast(dim) if broadcast_dim else dim
     return pre.join(right, pre[fact_key] == right[dim_key], how)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              out_col: str = "asof") -> DataFrame:
+    """As-of (most-recent-prior) join: every left row gains ``out_col``, a
+    struct of the right row with the LARGEST right_ts <= left_ts for the
+    same ``on`` key (null when no prior right row exists) — the time-series
+    primitive Spark SQL lacks natively (pricing a trade at the latest
+    quote, attributing a purchase to the latest view, joining sensor
+    readings to the latest calibration).
+
+    Expressed as the classic union-marker plan rather than a join at all:
+    tag both sides, union, and take per key the running ``last`` non-null
+    right struct over event-time order (right rows sort BEFORE left rows at
+    equal timestamps, giving <= semantics). ONE shuffle on the key, a
+    per-key sort Spark spills as needed, zero Python — at any scale this is
+    strictly cheaper than the naive range-join (which explodes to
+    left x right per key). A pathologically hot key serializes into one
+    task; salt by coarse time bucket if that ever binds (same caveat as
+    every per-key window here)."""
+    lcols, rcols = left.columns, right.columns
+    l2 = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).alias("_ats"),
+        F.struct(*lcols).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
+        ).alias("_rrow"),
+        F.lit(1).alias("_is_left"),
+    )
+    r2 = right.select(
+        F.col(on).alias("_k"), F.col(right_ts).alias("_ats"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("_lrow"),
+        F.struct(*rcols).alias("_rrow"),
+        F.lit(0).alias("_is_left"),
+    )
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("_k").orderBy("_ats", "_is_left")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        l2.unionAll(r2)
+        .withColumn(out_col, F.last("_rrow", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+        .select("_lrow.*", out_col)
+    )

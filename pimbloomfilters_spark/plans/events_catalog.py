@@ -170,7 +170,35 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute every purchase to the user's most recent view
+    at or before it — the classic attribution query, matched against
+    DuckDB's native ASOF LEFT JOIN. Nullable match (first-session
+    purchases have no prior view)."""
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id", "ts"))
+    out = asof_join(purchases, views, on="user_id")
+    return out.select("event_id",
+                      F.col("asof").getField("view_id").alias("matched_view_id"))
+
+
+_ORACLE_ASOF = """
+SELECT p.event_id, v.event_id AS matched_view_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 EVENTS_CATALOG: dict[str, QuerySpec] = {
+    "asof_purchase_view": QuerySpec(
+        q_asof_purchase_view, _ORACLE_ASOF,
+        "as-of join: each purchase attributed to the latest prior view"),
     "user_sessions": QuerySpec(
         q_user_sessions, _ORACLE_SESSIONS,
         "gap-based sessionization: per-user session count + largest session"),

@@ -241,3 +241,23 @@ def test_tfidf_and_bm25_broadcast_vocab_tables(spark, sf_dir):
     tok = tokens_exploded(spark, sf_dir)
     assert "BroadcastHashJoin" in _plan(tfidf_top_terms(tok, top=3))
     assert "BroadcastHashJoin" in _plan(bm25_rank(tok, [3, 7, 11]))
+
+
+def test_asof_join_semantics(spark):
+    """As-of: latest right row with ts <= left ts per key; equal timestamps
+    match (<= semantics); keys with no prior right row get null; later
+    right rows never leak backward."""
+    from pimbloomfilters_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "v", 50), (4, "w", 10)],
+        "event_id long, user string, ts long")
+    right = spark.createDataFrame(
+        [(10, "u", 100), (11, "u", 200), (12, "u", 300), (13, "v", 60)],
+        "rid long, user string, ts long")
+    out = {r["event_id"]: r["asof"]
+           for r in asof_join(left, right, on="user").collect()}
+    assert out[1]["rid"] == 10   # equal ts matches
+    assert out[2]["rid"] == 11   # latest <= 205, not 300
+    assert out[3] is None        # v's only right row is later
+    assert out[4] is None        # no right rows for w
