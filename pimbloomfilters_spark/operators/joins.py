@@ -106,3 +106,39 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         .filter(F.col("_is_left") == 1)
         .select("_lrow.*", out_col)
     )
+
+
+def range_join(left: DataFrame, right: DataFrame, left_ts: str,
+               start_col: str, end_col: str, on: str | None = None,
+               bucket_seconds: int = 3600,
+               out_col: str = "range") -> DataFrame:
+    """Interval-containment join: one output row per (left row, right
+    interval) with ``start_col <= left_ts <= end_col`` (and equal ``on``
+    key if given), the right row carried as the ``out_col`` struct — the
+    second time-series primitive Spark SQL lacks a fast plan for (its
+    BETWEEN join degenerates to a per-key cross product).
+
+    Bucketed equi-join scheme: each interval replicates to every coarse
+    time bucket it overlaps, each left row maps to its single bucket, and
+    a plain hash equi-join on (key, bucket) + an exact containment filter
+    finishes. A (left, interval) pair meets in exactly ONE bucket (the left
+    row's), so no dedup is needed. Shuffle = left + intervals x avg bucket
+    span; ``bucket_seconds`` trades replication against bucket selectivity
+    (set it near the typical interval length)."""
+    B = int(bucket_seconds)
+    key = [on] if on else []
+    lb = left.withColumn(
+        "_b", F.floor(F.col(left_ts).cast("double") / B).cast("long"))
+    rb = right.withColumn(
+        "_b", F.explode(F.sequence(
+            F.floor(F.col(start_col).cast("double") / B).cast("long"),
+            F.floor(F.col(end_col).cast("double") / B).cast("long"))))
+    rstruct = rb.select(
+        *key, "_b", F.struct(*right.columns).alias(out_col),
+        F.col(start_col).alias("_rs"), F.col(end_col).alias("_re"))
+    return (
+        lb.join(rstruct, key + ["_b"])
+        .filter((F.col(left_ts) >= F.col("_rs"))
+                & (F.col(left_ts) <= F.col("_re")))
+        .drop("_b", "_rs", "_re")
+    )

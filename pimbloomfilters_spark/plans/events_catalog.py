@@ -195,7 +195,70 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def q_range_join_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: place every error event inside
+    its user's session interval — sessions derived with the SAME gap rule
+    as the user_sessions gate, the bucketed equi-join doing the
+    containment. Sessions partition each user's events, so every error
+    lands in exactly one interval; output matched against a plain BETWEEN
+    join in SQL."""
+    from pyspark.sql import Window
+
+    from ..operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_sess = (
+        ev.withColumn("new_sess",
+                      F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    sessions = with_sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    errors = with_sess.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    out = range_join(errors, sessions, "ts", "s_start", "s_end",
+                     on="user_id", bucket_seconds=3600)
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("range").getField("s_start"))
+         .alias("session_start_us"))
+
+
+_ORACLE_RANGE_JOIN = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered
+),
+intervals AS (
+  SELECT user_id, sess_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY 1, 2
+)
+SELECT e.event_id, epoch_us(i.s_start) AS session_start_us
+FROM (SELECT * FROM sess WHERE event_type = 'error') e
+JOIN intervals i
+  ON e.user_id = i.user_id AND e.ts BETWEEN i.s_start AND i.s_end
+"""
+
+
 EVENTS_CATALOG: dict[str, QuerySpec] = {
+    "range_join_error_sessions": QuerySpec(
+        q_range_join_error_sessions, _ORACLE_RANGE_JOIN,
+        "bucketed interval join: every error placed in its session"),
     "asof_purchase_view": QuerySpec(
         q_asof_purchase_view, _ORACLE_ASOF,
         "as-of join: each purchase attributed to the latest prior view"),

@@ -261,3 +261,28 @@ def test_asof_join_semantics(spark):
     assert out[2]["rid"] == 11   # latest <= 205, not 300
     assert out[3] is None        # v's only right row is later
     assert out[4] is None        # no right rows for w
+
+
+def test_range_join_semantics(spark):
+    """Bucketed interval join: inclusive boundaries, multi-bucket-spanning
+    intervals matched exactly once, overlapping intervals yield one row
+    each, non-contained rows drop."""
+    from pimbloomfilters_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 7200), (3, "u", 9999), (4, "v", 100)],
+        "event_id long, user string, ts long")
+    right = spark.createDataFrame(
+        [(10, "u", 50, 8000),     # spans 3 buckets at B=3600; holds 1 and 2
+         (11, "u", 7000, 7300),   # overlaps 10; holds 2
+         (12, "v", 200, 300)],    # after v's event
+        "iid long, user string, s long, e long")
+    out = range_join(left, right, "ts", "s", "e", on="user",
+                     bucket_seconds=3600)
+    got = sorted((r["event_id"], r["range"]["iid"]) for r in out.collect())
+    assert got == [(1, 10), (2, 10), (2, 11)]
+    # boundary inclusivity
+    edge = range_join(
+        spark.createDataFrame([(9, "u", 8000)], "event_id long, user string, ts long"),
+        right, "ts", "s", "e", on="user", bucket_seconds=3600)
+    assert [(r["event_id"], r["range"]["iid"]) for r in edge.collect()] == [(9, 10)]
