@@ -57,6 +57,13 @@ def cosine_topk_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
                 sims[ids[:, None] == q_ids[None, :]] = -np.inf
             kk = min(k, sims.shape[0])
             top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, queries)
+            # same boundary-tie repair as cosine_topk_blocked: re-select
+            # columns where ties straddle the cut with (cos desc, id asc)
+            kth = np.take_along_axis(sims, top[kk - 1:kk], axis=0)
+            total_tied = (sims == kth).sum(axis=0)
+            sel_tied = (np.take_along_axis(sims, top, axis=0) == kth).sum(axis=0)
+            for q in np.nonzero(total_tied > sel_tied)[0]:
+                top[:, q] = np.lexsort((ids, -sims[:, q]))[:kk]
             qcol = np.repeat(q_ids[None, :], kk, axis=0).ravel()
             ncol = ids[top].ravel()
             scol = np.take_along_axis(sims, top, axis=0).ravel()
@@ -194,6 +201,17 @@ def cosine_topk_blocked(df: DataFrame, queries: DataFrame, k: int = 5,
             sims[dids[:, None] == qids[None, :]] = -np.inf
         kk = min(k, sims.shape[0])
         top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        # argpartition's pick among rows exactly TIED with the kk-th value
+        # is arbitrary — it could drop the tied LOWER-id neighbor here while
+        # the global window only orders what survives. Detect queries whose
+        # boundary value has ties straddling the cut and re-select just
+        # those columns with the documented composite key (cos desc, id
+        # asc); for every other query the selected SET is already exact.
+        kth = np.take_along_axis(sims, top[kk - 1:kk], axis=0)  # (1, nq)
+        total_tied = (sims == kth).sum(axis=0)
+        sel_tied = (np.take_along_axis(sims, top, axis=0) == kth).sum(axis=0)
+        for q in np.nonzero(total_tied > sel_tied)[0]:
+            top[:, q] = np.lexsort((dids, -sims[:, q]))[:kk]
         qcol = np.repeat(qids[None, :], kk, axis=0).ravel()
         ncol = dids[top].ravel()
         scol = np.take_along_axis(sims, top, axis=0).ravel()

@@ -58,15 +58,32 @@ class CountingBloomFilter(Sketch):
     _CHUNK = 1 << 19
 
     def insert_bulk(self, values: np.ndarray) -> None:
+        """Increment the k counters of each value. All-or-nothing: every
+        chunk's per-cell increments are aggregated (``np.unique`` with
+        counts, like ``delete_bulk``) and headroom-checked against uint16
+        BEFORE any counter is touched — a ``before/after`` wrap probe would
+        miss increments that are exact multiples of 65536 within a chunk
+        (e.g. one hot key repeated 65536 times wraps its k cells back to
+        their prior value), silently re-introducing false negatives."""
         values = np.asarray(values)
+        staged = []
+        total_inc: dict[int, int] = {}
         for lo in range(0, values.size, self._CHUNK):
             pos = self._positions(values[lo:lo + self._CHUNK])
-            before = self._counters[pos]
-            np.add.at(self._counters, pos, 1)
-            # wrap detection: any touched cell now below its prior value
-            if (self._counters[pos] < before).any():
-                raise OverflowError(
-                    "counting-bloom cell exceeded uint16; grow size2")
+            u, inc = np.unique(pos, return_counts=True)
+            staged.append((u, inc))
+            for cell, d in zip(u.tolist(), inc.tolist()):
+                total_inc[cell] = total_inc.get(cell, 0) + d
+        cells = np.fromiter(total_inc.keys(), dtype=np.int64,
+                            count=len(total_inc))
+        incs = np.fromiter(total_inc.values(), dtype=np.int64,
+                           count=len(total_inc))
+        if cells.size and (incs > np.iinfo(np.uint16).max
+                           - self._counters[cells]).any():
+            raise OverflowError(
+                "counting-bloom cell exceeded uint16; grow size2")
+        for u, inc in staged:
+            self._counters[u] += inc.astype(np.uint16)
         self.n_items += int(values.size)
 
     def delete_bulk(self, values: np.ndarray) -> None:

@@ -742,8 +742,11 @@ def session_stream(
             if n > 0 and t - last_ms > gap_ms:
                 closed.append((start_ms, last_ms, n))
                 start_ms, n = t, 0
-            elif n == 0:
-                start_ms = min(start_ms, t)
+            # ALWAYS extend the open session backward: a within-watermark
+            # late event older than the stored start (negative gap) joins
+            # the session, so session_start must never post-date the
+            # earliest counted event — not only on the n == 0 open
+            start_ms = min(start_ms, t)
             last_ms, n = max(last_ms, t), n + 1
         state.update((int(start_ms), int(last_ms), int(n)))
         state.setTimeoutTimestamp(int(last_ms) + gap_ms)

@@ -280,3 +280,47 @@ def test_counting_bloom_multi_chunk_delete_atomic():
         assert cb.contains_bulk(keys[4000:]).all()
     finally:
         CountingBloomFilter._CHUNK = saved
+
+
+def test_counting_bloom_insert_overflow_atomic():
+    """A hot key repeated exactly 65536 times in ONE chunk wraps its k
+    counters back to their prior value — a before/after probe cannot see
+    it. insert_bulk must raise (headroom check) and leave the filter
+    byte-identical; a smaller hot batch that fits must still apply."""
+    import numpy as np
+    import pytest as _pt
+
+    from pimbloomfilters_spark.sketches import make_sketch
+
+    cb = make_sketch("countingbloom", size2=8, nb_hash=2)
+    base = np.arange(100, dtype=np.int64)
+    cb.insert_bulk(base)
+    before = cb._counters.copy()
+    hot = np.full(1 << 16, 7, dtype=np.int64)  # 65536 copies, one chunk
+    with _pt.raises(OverflowError):
+        cb.insert_bulk(hot)
+    assert np.array_equal(cb._counters, before), "partial insert applied"
+    assert cb.contains_bulk(base).all()  # no silent false negative
+    cb.insert_bulk(hot[: (1 << 16) - 200])  # fits: 65336 + prior < 65536
+    assert cb.contains_bulk(base).all()
+    assert cb.contains(7)
+
+
+def test_counting_bloom_insert_overflow_cross_chunk():
+    """Overflow assembled ACROSS chunk boundaries (each chunk individually
+    fine) must also raise before any mutation."""
+    import numpy as np
+    import pytest as _pt
+
+    from pimbloomfilters_spark.sketches import CountingBloomFilter, make_sketch
+
+    cb = make_sketch("countingbloom", size2=8, nb_hash=2)
+    CountingBloomFilter._CHUNK, saved = 1024, CountingBloomFilter._CHUNK
+    try:
+        cb.insert_bulk(np.full(60_000, 3, dtype=np.int64))
+        before = cb._counters.copy()
+        with _pt.raises(OverflowError):  # 60k + 10k > 65535 per cell
+            cb.insert_bulk(np.full(10_000, 3, dtype=np.int64))
+        assert np.array_equal(cb._counters, before)
+    finally:
+        CountingBloomFilter._CHUNK = saved

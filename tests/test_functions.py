@@ -508,6 +508,31 @@ def test_cosine_topk_blocked_equals_bruteforce(spark, emb):
     assert a == b and len(a) == 20 * 4
 
 
+def test_cosine_topk_tie_break_with_duplicates(spark):
+    """Exactly tied cosines (duplicate embeddings, the common dedup-corpus
+    case) must resolve to the LOWEST neighbor ids — argpartition alone
+    picks arbitrarily among ties at the k-th boundary, so both topk paths
+    carry an explicit boundary-tie repair. 30 vectors in 3 identical
+    groups of 10: every same-group cosine is exactly 1.0, so the k=4
+    boundary sits inside a 9-way tie."""
+    rows = [(i, [float(1 + i % 3), float(2 * (i % 3)), 1.0])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 6)
+    expected = set()
+    for q in range(6):
+        group = sorted(i for i in range(30) if i % 3 == q % 3 and i != q)
+        expected |= {(q, n, r + 1) for r, n in enumerate(group[:4])}
+    for got_df in (
+        similarity.cosine_topk_bruteforce(emb, queries, k=4),
+        similarity.cosine_topk_blocked(emb, queries, k=4,
+                                       n_blocks=3, q_blocks=2),
+    ):
+        got = {(r["query_id"], r["neighbor_id"], r["rank"])
+               for r in got_df.collect()}
+        assert got == expected
+
+
 def test_pack_bins_best_fit_invariants(spark):
     """BFD packing: capacity respected, oversize docs dropped, at most one
     bin <= half full per group, deterministic across runs."""

@@ -492,3 +492,36 @@ def test_session_stream_matches_batch_sessions(spark, tmp_path_factory):
     expect = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
               for r in batch.collect()}
     assert got == expect and len(expect) == 15
+
+
+def test_session_stream_late_event_extends_start(spark, tmp_path_factory):
+    """A within-watermark late event OLDER than the open session's stored
+    start must pull session_start backward — the emitted start can never
+    post-date the earliest counted event."""
+    import datetime as dt
+
+    from pimbloomfilters_spark.streaming import session_stream
+
+    base = dt.datetime(2025, 3, 1, 9, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    data_dir = str(tmp_path_factory.mktemp("sess_late"))
+    files = [
+        [(1, m(10)), (1, m(20))],   # batch 1: opens session at 9:10
+        [(1, m(5))],                # batch 2: late, joins (gap 5-20min < 30)
+        [(999, m(60 * 24 * 30))],   # batch 3: sentinel closes via timeout
+    ]
+    for batch in files:
+        spark.createDataFrame(batch, "user_id long, ts timestamp") \
+            .coalesce(1).write.mode("append").parquet(data_dir)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(data_dir))
+    out = session_stream(stream, "ts", "user_id", gap="30 minutes",
+                         watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("sess_late_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = [(r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.sql(
+               "select * from sess_late_out where user_id = 1").collect()]
+    assert got == [(m(5), m(20), 3)]
