@@ -350,4 +350,19 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     else:
-        print(json.dumps(run_bench()))
+        # Route EVERYTHING the run produces (JVM log4j lines, console
+        # progress bars, py4j chatter — all of which write to fd 1
+        # directly, bypassing sys.stdout) to stderr at the fd level, so
+        # the result JSON is the FINAL, BARE line on stdout. The driver
+        # parses bench stdout mechanically; round 3 lost its structured
+        # record because Spark noise landed around the JSON line.
+        saved = os.dup(1)
+        sys.stdout.flush()
+        os.dup2(2, 1)
+        try:
+            result = run_bench()
+        finally:
+            sys.stdout.flush()
+            os.dup2(saved, 1)
+            os.close(saved)
+        print(json.dumps(result), flush=True)

@@ -493,6 +493,17 @@ def near_dup_clusters(ids: DataFrame, pairs: DataFrame,
     )
     labels = ids.select(F.col(id_col).alias("node"),
                         F.col(id_col).alias("label")).cache()
+    # Convergence check: labels are monotonically non-increasing (each
+    # round takes min over a set containing the node's own label), so the
+    # label SUM strictly decreases until the fixpoint — equal sum == no
+    # change. One aggregate over the cached frame per round, replacing the
+    # old-vs-new join+count (a whole extra shuffle per round). decimal(38)
+    # keeps the sum exact at any scale (10^12 rows x 64-bit ids overflows
+    # a long).
+    _sum = lambda df: df.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev_sum = _sum(labels)
     for it in range(max_iters):
         msgs = (
             edges.join(labels, edges.src == labels.node)
@@ -503,19 +514,19 @@ def near_dup_clusters(ids: DataFrame, pairs: DataFrame,
             .groupBy("node").agg(F.min("label").alias("label"))
         )
         # deep components (long duplicate chains) grow a plan per round;
-        # truncate lineage every 5 rounds so the optimizer/scheduler cost
-        # stays O(1) per round instead of O(rounds)
-        if (it + 1) % 5 == 0:
+        # truncate lineage so optimizer/scheduler cost stays O(1) per
+        # round — but only past round 5: shallow components (the common
+        # near-dup case) converge before the plan is deep enough for the
+        # checkpoint's materialization to pay for itself
+        if it >= 5 and (it + 1) % 4 == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label")).count()
-        )
+        cur_sum = _sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster_id"))

@@ -62,7 +62,8 @@ def bloom_runtime_filter_join(
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
-              out_col: str = "asof") -> DataFrame:
+              out_col: str = "asof",
+              salt_bucket_seconds: int | None = None) -> DataFrame:
     """As-of (most-recent-prior) join: every left row gains ``out_col``, a
     struct of the right row with the LARGEST right_ts <= left_ts for the
     same ``on`` key (null when no prior right row exists) — the time-series
@@ -77,33 +78,85 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     per-key sort Spark spills as needed, zero Python — at any scale this is
     strictly cheaper than the naive range-join (which explodes to
     left x right per key). A pathologically hot key serializes into one
-    task; salt by coarse time bucket if that ever binds (same caveat as
-    every per-key window here)."""
+    task in the default plan; pass ``salt_bucket_seconds`` to salt it.
+
+    ``salt_bucket_seconds``: hot-key salting by coarse time bucket. Every
+    per-EVENT window then partitions by (key, bucket) instead of key alone
+    — the one-in-a-billion power user splits across their time range — and
+    cross-bucket carry-in resolves on a per-(key, bucket) DIGEST (one row
+    per occupied bucket), so the only per-key-alone window runs over
+    #buckets rows, not #events. Result is identical to the unsalted plan
+    (right-ts ties per key resolve arbitrarily in BOTH plans). Set it near
+    the hot key's event span / desired parallelism."""
     lcols, rcols = left.columns, right.columns
+    rtype = right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
+    ltype = left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
     l2 = left.select(
         F.col(on).alias("_k"), F.col(left_ts).alias("_ats"),
         F.struct(*lcols).alias("_lrow"),
-        F.lit(None).cast(
-            right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
-        ).alias("_rrow"),
+        F.lit(None).cast(rtype).alias("_rrow"),
         F.lit(1).alias("_is_left"),
     )
     r2 = right.select(
         F.col(on).alias("_k"), F.col(right_ts).alias("_ats"),
-        F.lit(None).cast(
-            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
-        ).alias("_lrow"),
+        F.lit(None).cast(ltype).alias("_lrow"),
         F.struct(*rcols).alias("_rrow"),
         F.lit(0).alias("_is_left"),
     )
     from pyspark.sql import Window
 
-    w = (Window.partitionBy("_k").orderBy("_ats", "_is_left")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (
-        l2.unionAll(r2)
-        .withColumn(out_col, F.last("_rrow", ignorenulls=True).over(w))
+    if salt_bucket_seconds is None:
+        w = (Window.partitionBy("_k").orderBy("_ats", "_is_left")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return (
+            l2.unionAll(r2)
+            .withColumn(out_col, F.last("_rrow", ignorenulls=True).over(w))
+            .filter(F.col("_is_left") == 1)
+            .select("_lrow.*", out_col)
+        )
+
+    B = int(salt_bucket_seconds)
+
+    def _bucket(c):
+        return F.floor(F.col(c).cast("double") / B).cast("long")
+
+    l2 = l2.withColumn("_b", _bucket("_ats"))
+    r2 = r2.withColumn("_b", _bucket("_ats"))
+    # per-(key, bucket) digest of the right side: the bucket's LATEST right
+    # struct — the hot key shrinks to its bucket count before any
+    # per-key-alone window sees it
+    rb = (r2.groupBy("_k", "_b")
+          .agg(F.max_by("_rrow", "_ats").alias("_blast")))
+    # carry-in for each left-occupied bucket b = latest right struct from
+    # buckets STRICTLY before b (same-bucket right rows are ordered exactly
+    # by the within-bucket window below). Union-marker again, over digests:
+    # a left marker (_m=0) sorts before its own bucket's right digest
+    # (_m=1), so `last` sees earlier buckets only.
+    lmark = (l2.select("_k", "_b").distinct()
+             .withColumn("_m", F.lit(0))
+             .withColumn("_blast", F.lit(None).cast(rtype)))
+    wb = (Window.partitionBy("_k").orderBy("_b", "_m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carry = (
+        lmark.select("_k", "_b", "_m", "_blast")
+        .unionByName(rb.withColumn("_m", F.lit(1))
+                     .select("_k", "_b", "_m", "_blast"))
+        .withColumn("_carry", F.last("_blast", ignorenulls=True).over(wb))
+        .filter(F.col("_m") == 0)
+        .select("_k", "_b", "_carry")
+    )
+    # within-bucket union-marker window — partitioned by (key, bucket),
+    # the salted shape that bounds any single task by bucket occupancy
+    wl = (Window.partitionBy("_k", "_b").orderBy("_ats", "_is_left")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = (
+        l2.unionByName(r2)
+        .withColumn("_win", F.last("_rrow", ignorenulls=True).over(wl))
         .filter(F.col("_is_left") == 1)
+    )
+    return (
+        within.join(carry, ["_k", "_b"], "left")
+        .withColumn(out_col, F.coalesce("_win", "_carry"))
         .select("_lrow.*", out_col)
     )
 

@@ -1613,10 +1613,36 @@ def _register_pipeline_catalog() -> None:
 
 _register_pipeline_catalog()
 
+# Driver CORRECTNESS-window ordering: the round driver verifies queries()
+# in dict order under a row/time budget (50 of 68 entries in round 3), so
+# gates that have never received a driver row — plus gates new this round —
+# must come FIRST or they never get the hard external signal. The
+# long-green remainder keeps its registration order behind them. Keys and
+# semantics are unchanged; only dict iteration order moves.
+_DRIVER_WINDOW_PRIORITY = [
+    # never driver-verified through round 3
+    "cosine_topk_blocked", "range_join_error_sessions", "asof_purchase_view",
+    # new in round 4 (registered below if present)
+    "dedup_exact_hash", "embedding_source_stats", "mash_distance",
+    # green in round 2 only — fell out of the round-3 window
+    "cosine_topk", "ann_lsh_topk", "ivf_topk", "multimodal_decode_stats",
+    "multimodal_ppm_decode", "pipeline_end_to_end", "near_dup_clusters",
+    "pricing_summary", "top_customers", "user_sessions", "weighted_sample",
+    "events_hourly_counts", "events_user_distinct", "uniform_sample",
+    "stratified_sample",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _DRIVER_WINDOW_PRIORITY if n in CATALOG]
+    seen = set(head)
+    return head + [n for n in CATALOG if n not in seen]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in CATALOG.items()}
+    return {name: CATALOG[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle}
+    return {name: CATALOG[name].oracle for name in _ordered_names()
+            if CATALOG[name].oracle}

@@ -263,6 +263,65 @@ def test_asof_join_semantics(spark):
     assert out[4] is None        # no right rows for w
 
 
+def test_asof_join_salted_equals_unsalted(spark):
+    """salt_bucket_seconds must not change the result: same deterministic
+    (tie-free) input through the unsalted per-key plan and several salted
+    bucket widths — including widths that leave empty buckets between
+    events (carry-in must hop them) and a width of 1 (every event its own
+    bucket)."""
+    from pimbloomfilters_spark.operators.joins import asof_join
+
+    # tie-free: left ts = 7i+1 (never multiple of 3), right ts = 3j
+    left = spark.createDataFrame(
+        [(i, f"u{i % 5}", 7 * i + 1) for i in range(200)],
+        "event_id long, user string, ts long")
+    right = spark.createDataFrame(
+        [(1000 + j, f"u{j % 7}", 3 * j) for j in range(150)],
+        "rid long, user string, ts long")
+    base = {(r["event_id"],
+             r["asof"]["rid"] if r["asof"] else None)
+            for r in asof_join(left, right, on="user").collect()}
+    for b in (1, 16, 100, 10_000):
+        got = {(r["event_id"], r["asof"]["rid"] if r["asof"] else None)
+               for r in asof_join(left, right, on="user",
+                                  salt_bucket_seconds=b).collect()}
+        assert got == base, f"salted plan differs at bucket={b}"
+
+
+def test_asof_join_salted_splits_hot_key(spark):
+    """Planted skew: one key carries 90% of the rows. The salted plan's
+    per-event windows must partition by (key, bucket) — visible in the
+    physical plan — so no single sort task holds the whole hot key, and
+    the result still matches the unsalted plan."""
+    from pimbloomfilters_spark.operators.joins import asof_join
+
+    hot = [(i, "mega", i * 10) for i in range(900)]
+    cold = [(10_000 + i, f"u{i}", i * 10) for i in range(100)]
+    left = spark.createDataFrame(hot + cold, "event_id long, user string, ts long")
+    right = spark.createDataFrame(
+        [(5000 + j, "mega", j * 37) for j in range(200)]
+        + [(9000 + j, f"u{j}", 5) for j in range(100)],
+        "rid long, user string, ts long")
+    out = asof_join(left, right, on="user", salt_bucket_seconds=600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the event-level window partitions on (_k, _b) — the salted shape
+    assert any("_k#" in ln and "_b#" in ln for ln in plan.splitlines()
+               if "Window" in ln), plan
+    got = {(r["event_id"], r["asof"]["rid"] if r["asof"] else None)
+           for r in out.collect()}
+    base = {(r["event_id"], r["asof"]["rid"] if r["asof"] else None)
+            for r in asof_join(left, right, on="user").collect()}
+    assert got == base
+    # per-task bound: with B=600 the hot key's 9000s span occupies ~15
+    # buckets, so the largest (key, bucket) sort group is ~1/15 of the key
+    from pyspark.sql import functions as F
+    biggest = (left.unionByName(
+        right.withColumnRenamed("rid", "event_id"), allowMissingColumns=True)
+        .groupBy("user", F.floor(F.col("ts") / 600).alias("b"))
+        .count().agg(F.max("count")).collect()[0][0])
+    assert biggest < len(hot) / 5
+
+
 def test_range_join_semantics(spark):
     """Bucketed interval join: inclusive boundaries, multi-bucket-spanning
     intervals matched exactly once, overlapping intervals yield one row
