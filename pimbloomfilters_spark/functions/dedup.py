@@ -138,15 +138,28 @@ def _batch_distinct_grams(texts: list, n: int):
 
 
 # --------------------------------------------------------------- exact
-def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                by_hash: bool = False) -> DataFrame:
     """(doc_id, group_size): one kept representative (min doc_id) per exact
-    content group. Groups by md5(content), NOT the content itself, so the
-    shuffle moves 16-byte keys instead of whole documents — at corpus scale
-    that is the difference between shuffling hashes and shuffling the corpus
-    (md5 collision odds ~n^2/2^128; the oracle gate groups by raw text and
-    stays hash-equal, which would catch a collision)."""
+    content group. Groups by a content hash, NOT the content itself, so the
+    shuffle moves fixed-size keys instead of whole documents — at corpus
+    scale that is the difference between shuffling hashes and shuffling the
+    corpus.
+
+    ``by_hash=False`` (default): md5 — a 32-hex-char key; collision odds
+    ~n^2/2^128, negligible at any scale.
+    ``by_hash=True``: the documented 100-TB guidance made real — xxhash64,
+    an 8-BYTE LongType shuffle key (4x narrower than md5-hex), the cheapest
+    possible exact-dedup exchange. Collision odds rise to ~n^2/2^65: ~2.7e-6
+    at 10^7 docs, ~0.027 at 10^9 — a collision merges two distinct groups
+    (drops one representative). Acceptable for training-data dedup; use the
+    md5 default when a dropped doc matters. The oracle gate groups by raw
+    text and stays hash-equal, which would catch a collision at gated
+    scale."""
+    key = (F.xxhash64(F.col(text_col)) if by_hash
+           else F.md5(F.col(text_col)))
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        df.groupBy(key.alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("group_size"))
         .select("doc_id", "group_size")
     )

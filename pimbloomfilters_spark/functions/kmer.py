@@ -167,3 +167,14 @@ def kmer_minhash_signatures(df: DataFrame, k: int = 21,
     return df.select(id_col, seq_col).mapInArrow(
         _sig, "doc_id long, sig array<long>").withColumnRenamed(
         "doc_id", "seq_id")
+
+
+def mash_distance(jaccard, k: int = 21):
+    """Column: Mash distance d = -ln(2j/(1+j))/k (Ondov et al. 2016, eq. 4)
+    from a k-mer Jaccard (estimate or exact) — the mutation-rate scale
+    biologists actually compare genomes on (j=1 -> d=0; j->0 -> d->inf,
+    capped by callers if needed). A single fixed-shape float expression
+    tree, so identical inputs produce bit-identical distances on any
+    engine (the oracle-gate property)."""
+    j = jaccard if not isinstance(jaccard, str) else F.col(jaccard)
+    return -F.log(F.lit(2) * j / (F.lit(1) + j)) / F.lit(k)

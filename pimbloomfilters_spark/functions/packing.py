@@ -94,7 +94,8 @@ def _bfd_assign(sizes: list, ctx_len: int) -> list:
 def pack_bins_best_fit(df: DataFrame, ctx_len: int,
                        n_tok_col: str = "n_tok",
                        id_col: str = "doc_id",
-                       by: str = "source") -> DataFrame:
+                       by: str = "source",
+                       shards: int = 1) -> DataFrame:
     """(id_col, by, n_tok, bin_id): best-fit-decreasing bin packing WITHIN
     each group — the no-boundary-crossing alternative to concat-and-split:
     every bin holds whole documents totalling <= ctx_len tokens, so
@@ -113,28 +114,44 @@ def pack_bins_best_fit(df: DataFrame, ctx_len: int,
     both invariants.
 
     Scale shape: one shuffle on the group key; packing is inherently
-    sequential per group (a greedy with state), so each group is one task —
-    size groups (e.g. source x shard) to fit, exactly like
-    ``pack_context_windows``. Within a group the placement loop is
+    sequential per group (a greedy with state), so each group is one task.
+    ``shards`` is the sizing knob for a pathologically huge group: docs
+    hash into ``shards`` sub-groups packed independently in parallel
+    ((group, shard) is the task key), and local bin ids are striped as
+    ``local * shards + shard`` so bins stay unique per group and the
+    output schema is unchanged. Cost of the parallelism: the "<= one
+    half-empty bin" guarantee and the any-fit bound now hold PER SHARD
+    (so per group: <= ``shards`` half-empty bins, n_bins <=
+    ceil(2*total/ctx_len) + shards); per-bin capacity and whole-doc
+    placement are unaffected. Within a task the placement loop is
     O(docs x log bins) via a bisect over sorted residual capacities."""
     L = int(ctx_len)
     if L <= 0:
         raise ValueError(f"ctx_len must be positive, got {ctx_len}")
+    n_shards = int(shards)
+    if n_shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
 
     def _pack(pdf):
         import pandas as pd
 
+        shard = int(pdf["_sh"].iloc[0]) if n_shards > 1 else 0
         pdf = pdf[pdf["n_tok"] <= L].sort_values(
             ["n_tok", id_col], ascending=[False, True])
         out = pdf[[id_col, by, "n_tok"]].copy()
-        out["bin_id"] = pd.array(_bfd_assign(pdf["n_tok"].to_list(), L),
+        local = _bfd_assign(pdf["n_tok"].to_list(), L)
+        out["bin_id"] = pd.array([b * n_shards + shard for b in local],
                                  dtype="int64")
         return out
 
     id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, {by} string, n_tok int, bin_id long"
     src = df.select(id_col, by, F.col(n_tok_col).cast("int").alias("n_tok"))
-    return src.groupBy(by).applyInPandas(
-        _pack, f"{id_col} {id_type}, {by} string, n_tok int, bin_id long")
+    if n_shards == 1:
+        return src.groupBy(by).applyInPandas(_pack, schema)
+    sharded = src.withColumn(
+        "_sh", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int"))
+    return sharded.groupBy(by, "_sh").applyInPandas(_pack, schema)
 
 
 def packing_stats(df: DataFrame, ctx_len: int,

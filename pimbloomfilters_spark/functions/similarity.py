@@ -480,3 +480,61 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
     )
+
+
+def embedding_group_stats(df: DataFrame, group_col: str = "label",
+                          vec_col: str = "embedding") -> DataFrame:
+    """(group, n_vectors, centroid array<double>, centroid_norm, mean_norm):
+    per-group mean embedding + norm stats — the per-source corpus health
+    panel (drifting centroid = distribution shift; mean_norm collapse =
+    degenerate embeddings) and the input to per-source IVF seeding.
+
+    100-TB shape: one pass of per-partition fp64 PARTIAL sums (numpy
+    ``np.add.at`` group-scatter per Arrow batch — no per-row Python), then
+    a groupBy over #partitions x #groups partial rows merges them. The
+    shuffle carries dim-sized double arrays per (partition, group), never
+    rows. Same mergeable-partials algebra as the sketch builds
+    (operators/build.py); float64 accumulation, so group order inside a
+    partition is irrelevant at ~1e-12 relative."""
+
+    def _partials(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            g = np.asarray(b.column(0).to_numpy(zero_copy_only=False))
+            vec = b.column(1)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            flat = np.asarray(vec.flatten().to_numpy(zero_copy_only=False),
+                              dtype=np.float64)
+            m = flat.reshape(len(g), -1)
+            uniq, inv = np.unique(g, return_inverse=True)
+            sums = np.zeros((uniq.size, m.shape[1]))
+            np.add.at(sums, inv, m)
+            norm_sum = np.zeros(uniq.size)
+            np.add.at(norm_sum, inv, np.linalg.norm(m, axis=1))
+            cnt = np.bincount(inv, minlength=uniq.size)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(uniq.astype(np.int64)),
+                 pa.array(list(sums), type=pa.list_(pa.float64())),
+                 pa.array(norm_sum), pa.array(cnt.astype(np.int64))],
+                names=["_g", "_vsum", "_nsum", "_n"])
+
+    partials = df.select(group_col, vec_col).mapInArrow(
+        _partials, "_g long, _vsum array<double>, _nsum double, _n long")
+
+    def _merge(pdf):
+        import pandas as pd
+
+        vs = np.stack(pdf["_vsum"].to_numpy()).sum(axis=0)
+        n = int(pdf["_n"].sum())
+        centroid = vs / n
+        return pd.DataFrame({
+            group_col: [int(pdf["_g"].iloc[0])], "n_vectors": [n],
+            "centroid": [centroid.tolist()],
+            "centroid_norm": [float(np.linalg.norm(centroid))],
+            "mean_norm": [float(pdf["_nsum"].sum() / n)]})
+
+    return partials.groupBy("_g").applyInPandas(
+        _merge, f"{group_col} long, n_vectors long, centroid array<double>, "
+                "centroid_norm double, mean_norm double")

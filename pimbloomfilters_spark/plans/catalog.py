@@ -410,6 +410,45 @@ JOIN sizes sb ON sb.seq_id = i.seq_b
 """
 
 
+def q_mash_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mash DISTANCE d = -ln(2j/(1+j))/k (Ondov 2016 eq. 4) for every
+    genome pair, next to the exact canonical-k-mer Jaccard it derives from
+    — the closed-form mapping the reference's domain reports genomes on.
+    j is int/int (hash-exact cross-engine); d is one fixed-shape float
+    tree over it, so it hash-matches the oracle bit-for-bit (same rule as
+    the tfidf/pmi float gates)."""
+    from ..functions.kmer import dna_kmers, mash_distance, synth_dna
+
+    dna = synth_dna(spark, _MASH_NSEQ, _KMER_LEN)
+    km = dna_kmers(dna, k=_KMER_K, canonical=True).cache()
+    a = km.select(F.col("seq_id").alias("seq_a"), "kmer")
+    b = km.select(F.col("seq_id").alias("seq_b"), "kmer")
+    inter = (a.join(b, "kmer").filter("seq_a < seq_b")
+             .groupBy("seq_a", "seq_b").agg(F.count("*").alias("inter")))
+    sizes = km.groupBy("seq_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("seq_id").alias("seq_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("seq_id").alias("seq_b"), F.col("sz").alias("szb"))
+    jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        inter.join(sa, "seq_a").join(sb, "seq_b")
+        .withColumn("jaccard", jac)
+        .withColumn("mash_dist", mash_distance(jac, k=_KMER_K))
+        .select("seq_a", "seq_b", "jaccard", "mash_dist")
+    )
+
+
+_ORACLE_MASH_DIST = _ORACLE_MASH[:_ORACLE_MASH.index("SELECT i.seq_a")] + f"""
+SELECT i.seq_a, i.seq_b,
+       i.i * 1.0 / (sa.sz + sb.sz - i.i) AS jaccard,
+       -ln(2 * (i.i * 1.0 / (sa.sz + sb.sz - i.i))
+           / (1 + (i.i * 1.0 / (sa.sz + sb.sz - i.i)))) / {_KMER_K}
+           AS mash_dist
+FROM inter i
+JOIN sizes sa ON sa.seq_id = i.seq_a
+JOIN sizes sb ON sb.seq_id = i.seq_b
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary coverage: distinct tokens used, occurrences,
     and coverage of the global vocabulary in basis points — the lexical-
@@ -1372,6 +1411,11 @@ CATALOG: dict[str, QuerySpec] = {
         q_mash_genome_similarity, _ORACLE_MASH,
         "Mash: exact pairwise k-mer Jaccard + MinHash estimate within the "
         "binomial envelope",
+    ),
+    "mash_distance": QuerySpec(
+        q_mash_distance, _ORACLE_MASH_DIST,
+        "Mash distance -ln(2j/(1+j))/k from the exact k-mer Jaccard, "
+        "bit-exact cross-engine",
     ),
     "theta_source_similarity": QuerySpec(
         q_theta_source_similarity, _ORACLE_THETA_SOURCES,

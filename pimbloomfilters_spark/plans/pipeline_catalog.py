@@ -229,6 +229,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup, 8-byte LongType shuffle keys (``by_hash=True``)."""
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"),
+                             by_hash=True)
+
+
 _ORACLE_DEDUP_EXACT = """
 SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
 FROM documents GROUP BY text
@@ -305,6 +311,48 @@ _ORACLE_EMB_NEAR_DUP = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+def q_embedding_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid/norm stats with contract booleans. Float SUMS
+    cannot be oracle-hashed (summation order differs across engines), so
+    the gate emits the exact integer count plus booleans proving:
+    - ``agree_ok``: the distributed fp64 partial-sum centroid equals an
+      INDEPENDENT Spark plan (explode + groupBy(position) avg — a
+      different execution order entirely) to 1e-9 per component;
+    - ``convexity_ok``: ||centroid|| <= mean ||v|| + 1e-12 (Jensen — any
+      accumulation bug that inflates the centroid breaks this);
+    - ``norms_ok``: 0 < mean_norm and centroid_norm is finite/non-negative.
+    The DuckDB oracle recomputes the count and asserts TRUE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = similarity.embedding_group_stats(emb, "label")
+    ref = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("m"))
+        .groupBy("label").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.col("pm.m").alias("ref_centroid"))
+    )
+    diff = F.zip_with("centroid", "ref_centroid", lambda a, b: F.abs(a - b))
+    return (
+        stats.join(ref, "label")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_vectors",
+            (F.array_max(diff) < 1e-9).alias("agree_ok"),
+            (F.col("centroid_norm") <= F.col("mean_norm") + 1e-12)
+                .alias("convexity_ok"),
+            ((F.col("mean_norm") > 0) & (F.col("centroid_norm") >= 0)
+             & ~F.isnan("centroid_norm")).alias("norms_ok"),
+        )
+    )
+
+
+_ORACLE_EMB_STATS = """
+SELECT CAST(label AS INT) AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+       TRUE AS agree_ok, TRUE AS convexity_ok, TRUE AS norms_ok
+FROM embeddings GROUP BY label
 """
 
 
@@ -624,6 +672,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         "train/benchmark overlap via winnow fingerprints, exact vs SQL join"),
     "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT,
                              "exact dedup: kept representative per content group"),
+    "dedup_exact_hash": QuerySpec(
+        q_dedup_exact_hash, _ORACLE_DEDUP_EXACT,
+        "exact dedup shuffling 8-byte xxhash64 keys (the 100-TB shape); "
+        "oracle groups raw text, so a collision would hash-mismatch"),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, _JACCARD_CTE,
                                      "exact 3-gram Jaccard pairs >= 0.7"),
     "minhash_near_dup": QuerySpec(
@@ -634,6 +686,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         "SimHash banding contract: sound vs exact popcount, complete at <=3"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, _ORACLE_EMB_NEAR_DUP,
                                     "embedding cosine near-dup pairs >= 0.4"),
+    "embedding_source_stats": QuerySpec(
+        q_embedding_source_stats, _ORACLE_EMB_STATS,
+        "per-label centroid/norm stats: distributed partial-sum centroid "
+        "vs independent plan + Jensen bound, contract booleans"),
     "cosine_topk_blocked": QuerySpec(
         q_cosine_topk_blocked, _topk_oracle(50),
         "exact top-k for a large query set: asymmetric block-pair GEMM, "

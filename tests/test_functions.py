@@ -533,6 +533,33 @@ def test_cosine_topk_tie_break_with_duplicates(spark):
         assert got == expected
 
 
+def test_pack_bins_sharded_giant_source(spark):
+    """shards= splits one pathologically huge source across parallel
+    packing tasks: >1 shard actually used, every doc placed exactly once,
+    per-bin capacity exact, and the relaxed any-fit accounting holds
+    (<= `shards` half-empty bins, n_bins <= ceil(2*total/L) + shards)."""
+    from pimbloomfilters_spark.functions.packing import pack_bins_best_fit
+
+    rows = [(i, "giant", 10 + i % 50) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    L, S = 128, 4
+    out = pack_bins_best_fit(df, L, shards=S)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_sh" in plan  # the shard key reaches the physical group-by
+    pdf = out.toPandas()
+    assert len(pdf) == 2000 and pdf["doc_id"].is_unique
+    assert set(pdf["bin_id"] % S) == set(range(S))  # all shards used
+    fills = pdf.groupby("bin_id")["n_tok"].sum()
+    assert (fills <= L).all()
+    total = pdf["n_tok"].sum()
+    assert (fills <= L // 2).sum() <= S
+    assert len(fills) <= -(-2 * total // L) + S
+    # determinism across runs
+    pdf2 = pack_bins_best_fit(df, L, shards=S).toPandas()
+    assert pdf.sort_values("doc_id")["bin_id"].tolist() == \
+        pdf2.sort_values("doc_id")["bin_id"].tolist()
+
+
 def test_pack_bins_best_fit_invariants(spark):
     """BFD packing: capacity respected, oversize docs dropped, at most one
     bin <= half full per group, deterministic across runs."""
@@ -742,3 +769,44 @@ def test_kmer_minhash_identical_and_disjoint(spark):
     assert sigs[0] == sigs2[0]  # deterministic
     agree_0_50 = sum(x == y for x, y in zip(sigs[0], sigs[50]))
     assert agree_0_50 <= 5, agree_0_50  # disjoint kmer sets
+
+
+def test_dedup_exact_by_hash_matches_default(spark):
+    """by_hash=True (8-byte xxhash64 shuffle keys) returns exactly the
+    md5-path result, and the exchange actually keys on the long hash."""
+    rows = [(i, ["alpha", "beta", "gamma"][i % 3] + str(i % 6)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r["doc_id"], r["group_size"])
+            for r in dedup.dedup_exact(df).collect()}
+    hashed_df = dedup.dedup_exact(df, by_hash=True)
+    got = {(r["doc_id"], r["group_size"]) for r in hashed_df.collect()}
+    assert got == base and len(base) == 6
+    plan = hashed_df._jdf.queryExecution().toString()
+    assert "xxhash64" in plan and "md5" not in plan
+    # the exchange keys on a LongType expression (trailing L) — the md5
+    # path's key is an (unsuffixed) string attribute
+    import re
+    assert re.search(r"hashpartitioning\(_groupingexpression#\d+L", plan), \
+        [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+
+
+def test_embedding_group_stats_matches_numpy(spark):
+    """Distributed partial-sum centroids equal a single-process numpy
+    reference to fp64 round-off, across multiple partitions."""
+    import numpy as np
+
+    rng = [(i, i % 3, [((i * 37 + j * 11) % 19 - 9) / 7.0 for j in range(8)])
+           for i in range(300)]
+    df = spark.createDataFrame(
+        rng, "vec_id long, label int, embedding array<double>").repartition(7)
+    got = {r["label"]: r for r in
+           similarity.embedding_group_stats(df, "label").collect()}
+    assert set(got) == {0, 1, 2}
+    for lab in range(3):
+        m = np.array([v for i, l, v in rng if l == lab])
+        r = got[lab]
+        assert r["n_vectors"] == len(m)
+        assert np.allclose(r["centroid"], m.mean(axis=0), atol=1e-12)
+        assert abs(r["centroid_norm"] - np.linalg.norm(m.mean(axis=0))) < 1e-12
+        assert abs(r["mean_norm"] - np.linalg.norm(m, axis=1).mean()) < 1e-12
+        assert r["centroid_norm"] <= r["mean_norm"] + 1e-12
