@@ -641,3 +641,138 @@ def embedding_near_dup_lsh(df: DataFrame, vec_col: str = "embedding",
         .filter(F.col("cos") >= threshold)
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "cos")
     )
+
+
+# ------------------------------------------- token n-gram decontamination
+def _batch_distinct_token_ngram_codes(col, n: int):
+    """Distinct Karp-Rabin codes (mod 2^31-1, base 257 — the SQL-exact
+    coding ``text._batch_window_hashes`` uses over bytes) of every
+    length-``n`` token window per row of an Arrow LIST batch column. Same
+    flat-scan + boundary-mask + lexsort shape and return contract as
+    ``_batch_distinct_list_shingles``; unlike the shingle packer this is
+    NOT a bijection (n > 2 exceeds exact packing), but collisions are
+    SYMMETRIC — any engine computing the identical code sees the identical
+    collision — so code-set comparisons stay exact cross-engine."""
+    from .text import _FP_BASE, _FP_MOD
+
+    if n < 1:
+        raise ValueError(f"ngram width must be >= 1, got {n}")
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.int64))
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    vals = np.asarray(col.values, dtype=np.int64)
+    vals = vals[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    rows = len(lens)
+    if vals.size < n:
+        return empty
+    if vals.min() < 0 or vals.max() >= 1 << 31:
+        raise ValueError("token ids must be in [0, 2^31) for KR coding")
+    n_win = vals.size - n + 1
+    acc = np.zeros(n_win, dtype=np.int64)
+    for i in range(n):  # Horner: n vectorized passes, intermediates < 2^40
+        acc = (acc * _FP_BASE + vals[i:i + n_win]) % _FP_MOD
+    pos = np.arange(n_win, dtype=np.int64)
+    doc = np.repeat(np.arange(rows, dtype=np.int64), lens)[:n_win]
+    valid = pos + n <= offs[1:][doc]
+    acc, doc = acc[valid], doc[valid]
+    if acc.size == 0:
+        return empty
+    order = np.lexsort((acc, doc))
+    doc, acc = doc[order], acc[order]
+    keep = np.r_[True, (doc[1:] != doc[:-1]) | (acc[1:] != acc[:-1])]
+    doc, acc = doc[keep], acc[keep]
+    starts = np.r_[0, np.flatnonzero(doc[1:] != doc[:-1]) + 1]
+    return acc, starts, doc[starts]
+
+
+def token_ngram_codes(df: DataFrame, n: int = 13,
+                      tokens_col: str = "tokens",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, code): each row's DISTINCT token n-gram KR codes — one Arrow
+    scan, no shuffle, no per-row Python."""
+    id_type = dict(df.dtypes)[id_col]
+
+    def _codes(batches):
+        for b in batches:
+            codes, starts, doc_rows = _batch_distinct_token_ngram_codes(
+                b.column(1), n)
+            if codes.size == 0:
+                continue
+            counts = np.diff(np.r_[starts, codes.size])
+            ids = b.column(0).take(pa.array(np.repeat(doc_rows, counts)))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(codes)], names=[id_col, "code"])
+
+    return df.select(id_col, tokens_col).mapInArrow(
+        _codes, f"{id_col} {id_type}, code long")
+
+
+def screen_token_ngrams(df: DataFrame, sketch, n: int = 13,
+                        tokens_col: str = "tokens",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_ngrams, n_matched, contaminated): probe every row's
+    distinct token n-gram codes against a pre-built filter — the
+    reference's contains_bulk screening as ONE stateless map: codes,
+    membership, and per-row counts all inside a single Arrow batch pass,
+    so the corpus side has ZERO exchanges (compare the explode + groupBy
+    shape, which shuffles a row per n-gram). Works unchanged on batch and
+    STREAMING DataFrames (stateless -> append mode). Rows with fewer than
+    ``n`` tokens emit nothing."""
+    from ..operators.probe import load_shipped_sketch, ship_sketch
+
+    name = ship_sketch(df.sparkSession, sketch)
+    id_type = dict(df.dtypes)[id_col]
+
+    def _screen(batches):
+        sk = load_shipped_sketch(name)
+        for b in batches:
+            codes, starts, doc_rows = _batch_distinct_token_ngram_codes(
+                b.column(1), n)
+            if codes.size == 0:
+                continue
+            member = sk.contains_bulk(codes)
+            counts = np.diff(np.r_[starts, codes.size])
+            matched = np.add.reduceat(member.astype(np.int64), starts)
+            ids = b.column(0).take(pa.array(doc_rows))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(counts.astype(np.int32)),
+                 pa.array(matched.astype(np.int32)), pa.array(matched > 0)],
+                names=[id_col, "n_ngrams", "n_matched", "contaminated"])
+
+    return df.select(id_col, tokens_col).mapInArrow(
+        _screen, f"{id_col} {id_type}, n_ngrams int, n_matched int, "
+                 "contaminated boolean")
+
+
+def token_ngram_decontaminate(train: DataFrame, test: DataFrame,
+                              n: int = 13, tokens_col: str = "tokens",
+                              id_col: str = "doc_id",
+                              size2: int = 24, nb_hash: int = 8) -> DataFrame:
+    """(doc_id, n_ngrams, n_matched, contaminated): for every train doc
+    with >= n tokens, how many of its distinct token n-grams appear
+    anywhere in the test/benchmark set — n-gram-overlap decontamination on
+    the PRE-TOKENIZED table (the 13-gram filtering GPT-3's appendix C
+    describes), complementing ``decontaminate``'s char-level winnowing.
+
+    Plan = the reference's read-screening flow (kmer_bloom_screen's twin,
+    reference benchmarks/benchmark1.cpp:54-73 insert->lookup): build a
+    Bloom over the (small) benchmark side's codes, ship it, probe the
+    corpus codes. The filter REPLACES the corpus x benchmark join — the
+    corpus is scanned once with ZERO exchanges (``screen_token_ngrams``
+    counts per row inside the map — no explode, no groupBy), and the
+    benchmark rides along as an m/8-byte filter. At the gated geometry the
+    fill ratio makes FP probability ~1e-16, so counts equal the exact
+    code join the oracle runs; at production scale size the filter to the
+    benchmark's distinct-code count (helpers in sketches/factory.py)."""
+    import functools
+
+    from ..operators.build import build_sketch
+    from ..sketches import make_sketch
+
+    bench = token_ngram_codes(test, n, tokens_col, id_col).select("code")
+    sk, _ = build_sketch(bench, "code",
+                         functools.partial(make_sketch, "bloom",
+                                           size2=size2, nb_hash=nb_hash))
+    return screen_token_ngrams(train, sk, n, tokens_col, id_col)

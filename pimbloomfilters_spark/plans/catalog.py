@@ -1668,6 +1668,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cosine_topk_blocked", "range_join_error_sessions", "asof_purchase_view",
     # new in round 4 (registered below if present)
     "dedup_exact_hash", "embedding_source_stats", "mash_distance",
+    "token_ngram_decontaminate",
     # green in round 2 only — fell out of the round-3 window
     "cosine_topk", "ann_lsh_topk", "ivf_topk", "multimodal_decode_stats",
     "multimodal_ppm_decode", "pipeline_end_to_end", "near_dup_clusters",

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import dedup, multimodal, similarity, text
-from ..sources.tables import load_table
+from ..sources.tables import load_table, token_table
 from .catalog import QuerySpec
 
 _STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
@@ -311,6 +311,57 @@ _ORACLE_EMB_NEAR_DUP = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+_NGRAM_DECON_N = 13  # GPT-3 appendix-C style 13-gram overlap filtering
+
+
+def q_token_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level benchmark decontamination over the pre-tokenized table:
+    Bloom-screen every train doc's distinct 13-gram KR codes against the
+    benchmark split (doc_id % 50 == 0). Zero-FP at the gated geometry, so
+    counts equal the exact code join the oracle runs; KR collisions are
+    symmetric (both engines code identically)."""
+    tok = token_table(spark, sf_dir)
+    is_test = F.col("doc_id").cast("long") % 50 == 0
+    out = dedup.token_ngram_decontaminate(
+        tok.filter(~is_test), tok.filter(is_test), n=_NGRAM_DECON_N)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_ngrams", "n_matched", "contaminated")
+
+
+def _ngram_decon_oracle() -> str:
+    from ..functions.text import fp_coefficients
+    from ..sources.tables import TOKENS_ORACLE_CTE
+
+    n = _NGRAM_DECON_N
+    coeffs = fp_coefficients(n)
+    return TOKENS_ORACLE_CTE + f""",
+seqs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list(token_id ORDER BY pos) AS toks, count(*) AS n_tok
+  FROM tok GROUP BY doc_id
+),
+codes AS (
+  SELECT DISTINCT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, {n - 1}),
+              i -> (CAST(toks[p + i] AS BIGINT) * ({coeffs})[i + 1])
+                   % 2147483647)) AS BIGINT) % 2147483647 AS code
+  FROM seqs,
+       LATERAL (SELECT unnest(generate_series(1, CAST(n_tok AS INT) - {n - 1}))
+                AS p) g
+  WHERE n_tok >= {n}
+),
+bench AS (SELECT DISTINCT code FROM codes WHERE doc_id % 50 = 0)
+SELECT c.doc_id, CAST(count(*) AS INT) AS n_ngrams,
+       CAST(sum(CASE WHEN b.code IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS n_matched,
+       sum(CASE WHEN b.code IS NOT NULL THEN 1 ELSE 0 END) > 0
+           AS contaminated
+FROM codes c LEFT JOIN bench b USING (code)
+WHERE c.doc_id % 50 <> 0
+GROUP BY c.doc_id
 """
 
 
@@ -670,6 +721,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "decontaminate": QuerySpec(
         q_decontaminate, _ORACLE_DECON,
         "train/benchmark overlap via winnow fingerprints, exact vs SQL join"),
+    "token_ngram_decontaminate": QuerySpec(
+        q_token_ngram_decontaminate, _ngram_decon_oracle(),
+        "13-token-gram benchmark decontamination: Bloom screen replaces the "
+        "corpus x benchmark join, exact at zero-FP geometry"),
     "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT,
                              "exact dedup: kept representative per content group"),
     "dedup_exact_hash": QuerySpec(

@@ -1,5 +1,6 @@
 from .stream_build import (
     dedup_stream_query,
+    screen_stream,
     get_stream_sketch,
     sharded_dedup_stream,
     sketch_stream_query,
@@ -18,4 +19,5 @@ __all__ = [
     "session_stream",
     "windowed_quantiles_stream",
     "dedup_stream_query",
+    "screen_stream",
 ]

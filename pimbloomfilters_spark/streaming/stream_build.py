@@ -764,3 +764,21 @@ def session_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def screen_stream(stream_df, sketch, n: int = 13,
+                  tokens_col: str = "tokens", id_col: str = "doc_id"):
+    """Streaming benchmark screening: probe each arriving pre-tokenized
+    document's distinct token n-gram codes against a PRE-BUILT filter
+    (built once from the benchmark with ``build_sketch`` over
+    ``token_ngram_codes``) — the reference's contains_bulk flow on a
+    stream. Stateless (each doc's verdict depends only on its own row +
+    the static filter), so it runs in append mode with no state store, no
+    watermark, and no per-key shuffle; one output row per doc with >= n
+    tokens: (doc_id, n_ngrams, n_matched, contaminated). This is the
+    online admission check of a training-data pipeline: screen incoming
+    crawl shards against held-out benchmarks before they enter the
+    corpus."""
+    from ..functions.dedup import screen_token_ngrams
+
+    return screen_token_ngrams(stream_df, sketch, n, tokens_col, id_col)

@@ -810,3 +810,32 @@ def test_embedding_group_stats_matches_numpy(spark):
         assert abs(r["centroid_norm"] - np.linalg.norm(m.mean(axis=0))) < 1e-12
         assert abs(r["mean_norm"] - np.linalg.norm(m, axis=1).mean()) < 1e-12
         assert r["centroid_norm"] <= r["mean_norm"] + 1e-12
+
+
+def test_token_ngram_decontaminate_planted(spark):
+    """Planted overlap: train doc 1 embeds a verbatim 15-token run from the
+    benchmark doc (=> 3 matching 13-grams), train doc 2 shares nothing,
+    train doc 3 is too short to have any 13-gram. Counts are exact (zero-FP
+    geometry) and match a pure-python reference."""
+    bench_toks = [(i * 7 + 3) % 97 + 1 for i in range(40)]
+    t1 = [500 + i for i in range(20)] + bench_toks[10:25] + [600 + i for i in range(10)]
+    t2 = [700 + i for i in range(30)]
+    t3 = [1, 2, 3]
+    train = spark.createDataFrame(
+        [("1", t1, len(t1), "a"), ("2", t2, len(t2), "a"),
+         ("3", t3, len(t3), "a")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    test = spark.createDataFrame(
+        [("50", bench_toks, len(bench_toks), "b")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_matched"], r["contaminated"])
+           for r in dedup.token_ngram_decontaminate(train, test, n=13).collect()}
+
+    def ngrams(ts):
+        return {tuple(ts[i:i + 13]) for i in range(len(ts) - 12)}
+
+    bset = ngrams(bench_toks)
+    assert got["1"] == (len(ngrams(t1)), len(ngrams(t1) & bset), True)
+    assert got["1"][1] == 3
+    assert got["2"] == (len(ngrams(t2)), 0, False)
+    assert "3" not in got  # shorter than n emits nothing

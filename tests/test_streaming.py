@@ -525,3 +525,50 @@ def test_session_stream_late_event_extends_start(spark, tmp_path_factory):
            for r in spark.sql(
                "select * from sess_late_out where user_id = 1").collect()]
     assert got == [(m(5), m(20), 3)]
+
+
+def test_screen_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming n-gram benchmark screening == the batch decontaminate
+    counts for the same docs, across multiple micro-batches (stateless, so
+    parity must be exact row-for-row)."""
+    import functools
+
+    from pimbloomfilters_spark.functions.dedup import (
+        token_ngram_codes, token_ngram_decontaminate)
+    from pimbloomfilters_spark.operators.build import build_sketch
+    from pimbloomfilters_spark.sketches import make_sketch
+    from pimbloomfilters_spark.streaming import screen_stream
+
+    bench_toks = [(i * 5 + 1) % 89 + 1 for i in range(30)]
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    test_df = spark.createDataFrame(
+        [("b0", bench_toks, len(bench_toks), "bench")], schema)
+    train_rows = [
+        (f"t{i}",
+         [300 + (i * 13 + j) % 200 for j in range(25)]
+         + (bench_toks[5:5 + 14] if i % 3 == 0 else []),
+         0, "train")
+        for i in range(40)
+    ]
+    train_rows = [(d, ts, len(ts), s) for d, ts, _, s in train_rows]
+    train_df = spark.createDataFrame(train_rows, schema)
+    expect = {r["doc_id"]: (r["n_ngrams"], r["n_matched"], r["contaminated"])
+              for r in token_ngram_decontaminate(train_df, test_df, n=13).collect()}
+
+    sk, _ = build_sketch(token_ngram_codes(test_df, 13).select("code"),
+                         "code", functools.partial(make_sketch, "bloom",
+                                                   size2=24, nb_hash=8))
+    data_dir = str(tmp_path_factory.mktemp("screen_in"))
+    for lo in (0, 20):  # two files -> two micro-batches
+        spark.createDataFrame(train_rows[lo:lo + 20], schema) \
+            .coalesce(1).write.mode("append").parquet(data_dir)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(data_dir))
+    out = screen_stream(stream, sk, n=13)
+    q = (out.writeStream.format("memory").queryName("screen_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_matched"], r["contaminated"])
+           for r in spark.sql("select * from screen_out").collect()}
+    assert got == expect
+    assert any(m for _, m, _ in got.values())  # planted overlap was found
