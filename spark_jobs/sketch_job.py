@@ -144,6 +144,21 @@ def main() -> int:
     km.add_argument("--id-col", default="seq_id")
     km.add_argument("--out", required=True)
 
+    sc_ = sub.add_parser(
+        "screen",
+        help="token n-gram benchmark decontamination over pre-tokenized "
+             "parquets: Bloom over the --test split's n-gram codes, "
+             "stateless screen of --train; writes (doc_id, n_ngrams, "
+             "n_matched, contaminated)")
+    sc_.add_argument("--train", required=True)
+    sc_.add_argument("--test", required=True)
+    sc_.add_argument("--n", type=int, default=13)
+    sc_.add_argument("--tokens-col", default="tokens")
+    sc_.add_argument("--id-col", default="doc_id")
+    sc_.add_argument("--size2", type=int, default=24)
+    sc_.add_argument("--nb-hash", type=int, default=8)
+    sc_.add_argument("--out", required=True)
+
     c = sub.add_parser(
         "combine",
         help="merge or subtract two sketch files of identical geometry "
@@ -217,6 +232,23 @@ def main() -> int:
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"out": args.out, "contaminated_pairs": n}))
+        spark.stop()
+        return 0
+
+    if args.cmd == "screen":
+        from pimbloomfilters_spark.functions.dedup import (
+            token_ngram_decontaminate)
+
+        out = token_ngram_decontaminate(
+            spark.read.parquet(args.train), spark.read.parquet(args.test),
+            n=args.n, tokens_col=args.tokens_col, id_col=args.id_col,
+            size2=args.size2, nb_hash=args.nb_hash,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        res = spark.read.parquet(args.out)
+        print(json.dumps({
+            "out": args.out, "n": args.n, "docs": res.count(),
+            "contaminated": res.filter("contaminated").count()}))
         spark.stop()
         return 0
 
