@@ -392,3 +392,35 @@ def bm25_rank(tok_exploded: DataFrame, query_tokens: list, k1: float = 1.2,
         .filter(F.col("rank") <= top)
         .select("doc_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def source_token_divergence(tok_exploded: DataFrame,
+                            source_col: str = "source",
+                            token_col: str = "token_id") -> DataFrame:
+    """(source, token_id, n_st, n_s, n_t, n, term): per-token contribution
+    to KL(source || corpus) over the token occurrence table — the mixture-
+    curation diagnostic (which tokens make a source's distribution diverge
+    from the corpus; sum(term) per source = its KL in nats; large single
+    terms = the tokens responsible).
+
+    term = (n_st/n_s) * ln((n_st*n) / (n_s*n_t)) — every input is an exact
+    relational count and the term is ONE fixed-shape float tree over them,
+    so rows are bit-identical cross-engine (the tfidf/pmi gate rule). The
+    KL *sum* is deliberately left to the caller (a float sum's value
+    depends on summation order); per-term rows are the exact, auditable
+    form. Three grouped counts + one broadcast scalar — no vocab-sized
+    state anywhere. n_st*n must fit int64 (fine below ~3e9 tokens per
+    count; beyond that pre-divide)."""
+    st = tok_exploded.groupBy(source_col, token_col).agg(
+        F.count("*").alias("n_st"))
+    s = tok_exploded.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    t = tok_exploded.groupBy(token_col).agg(F.count("*").alias("n_t"))
+    tot = tok_exploded.agg(F.count("*").alias("n"))
+    term = (F.col("n_st") / F.col("n_s")) * F.log(
+        (F.col("n_st") * F.col("n")) / (F.col("n_s") * F.col("n_t")))
+    return (
+        st.join(s, source_col).join(t, token_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("term", term)
+        .select(source_col, token_col, "n_st", "n_s", "n_t", "n", "term")
+    )

@@ -449,6 +449,26 @@ JOIN sizes sb ON sb.seq_id = i.seq_b
 """
 
 
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token KL(source || corpus) contributions — exact counts + one
+    fixed-shape float tree (the tfidf/pmi bit-exact-double rule)."""
+    from ..functions.text import source_token_divergence
+
+    return source_token_divergence(tokens_exploded(spark, sf_dir))
+
+
+_ORACLE_SOURCE_KL = TOKENS_ORACLE_CTE + """,
+st AS (SELECT source, token_id, CAST(count(*) AS BIGINT) AS n_st
+       FROM tok GROUP BY 1, 2),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM tok GROUP BY 1),
+t AS (SELECT token_id, CAST(count(*) AS BIGINT) AS n_t FROM tok GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+SELECT st.source, st.token_id, st.n_st, s.n_s, t.n_t, tot.n,
+       (st.n_st / s.n_s) * ln((st.n_st * tot.n) / (s.n_s * t.n_t)) AS term
+FROM st JOIN s USING (source) JOIN t USING (token_id) CROSS JOIN tot
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary coverage: distinct tokens used, occurrences,
     and coverage of the global vocabulary in basis points — the lexical-
@@ -1390,6 +1410,11 @@ CATALOG: dict[str, QuerySpec] = {
         q_vocab_coverage, _ORACLE_VOCAB_COVERAGE,
         "per-source vocabulary coverage in basis points, exact",
     ),
+    "source_token_kl": QuerySpec(
+        q_source_token_kl, _ORACLE_SOURCE_KL,
+        "per-token KL(source||corpus) contributions, counts exact and "
+        "terms bit-exact cross-engine",
+    ),
     "dna_kmer_stats": QuerySpec(
         q_dna_kmer_stats, _ORACLE_KMER_STATS,
         "distinct 2-bit-packed k-mers per synthetic genome, exact",
@@ -1668,7 +1693,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cosine_topk_blocked", "range_join_error_sessions", "asof_purchase_view",
     # new in round 4 (registered below if present)
     "dedup_exact_hash", "embedding_source_stats", "mash_distance",
-    "token_ngram_decontaminate",
+    "token_ngram_decontaminate", "source_token_kl",
     # green in round 2 only — fell out of the round-3 window
     "cosine_topk", "ann_lsh_topk", "ivf_topk", "multimodal_decode_stats",
     "multimodal_ppm_decode", "pipeline_end_to_end", "near_dup_clusters",

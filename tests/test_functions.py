@@ -839,3 +839,29 @@ def test_token_ngram_decontaminate_planted(spark):
     assert got["1"][1] == 3
     assert got["2"] == (len(ngrams(t2)), 0, False)
     assert "3" not in got  # shorter than n emits nothing
+
+
+def test_source_token_divergence_math(spark):
+    """Per-token KL contributions: terms match a hand computation, sum per
+    source is a true KL (>= 0, and 0 iff the source matches the corpus
+    distribution)."""
+    import math
+
+    from pimbloomfilters_spark.functions.text import source_token_divergence
+
+    # source A: tokens 1,1,2 ; source B: tokens 1,2,2,2
+    rows = ([("a", "A", 1, 1), ("a", "A", 2, 1), ("a", "A", 3, 2)]
+            + [("b", "B", 1, 1), ("b", "B", 2, 2), ("b", "B", 3, 2),
+               ("b", "B", 4, 2)])
+    tok = spark.createDataFrame(
+        rows, "doc_id string, source string, pos int, token_id int")
+    out = source_token_divergence(tok).collect()
+    got = {(r["source"], r["token_id"]):
+           (r["n_st"], r["n_s"], r["n_t"], r["n"], r["term"]) for r in out}
+    n_st, n_s, n_t, n, term = got[("A", 1)]
+    assert (n_st, n_s, n_t, n) == (2, 3, 3, 7)
+    assert abs(term - (2 / 3) * math.log((2 * 7) / (3 * 3))) < 1e-15
+    for src in ("A", "B"):
+        kl = sum(t for (s, _), (_, _, _, _, t) in got.items() if s == src)
+        assert kl >= -1e-12, (src, kl)
+    assert sum(t for (_, _, _, _, t) in got.values()) > 1e-3  # A != B
