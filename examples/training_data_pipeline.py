@@ -5,10 +5,12 @@ Runs the full pre-tokenized pipeline with the library's public surface:
   1. derive the (doc_id, tokens, n_tok, source) table
   2. corpus stats via sketches (distinct tokens, heavy hitters, quantiles)
   3. repetition quality filter
-  4. token-shingle MinHash near-dup removal
-  5. per-source token-budget mixture sample
-  6. context-window packing stats of the final mixture
-  7. Bloom filter of the final corpus' tokens (for later membership probes)
+  4. benchmark decontamination (13-token-gram Bloom screen; the held-out
+     split stands in for an eval benchmark)
+  5. token-shingle MinHash near-dup removal
+  6. per-source token-budget mixture sample
+  7. context-window packing stats of the final mixture
+  8. Bloom filter of the final corpus' tokens (for later membership probes)
 
 Usage: python examples/training_data_pipeline.py [sf_dir]
 """
@@ -24,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from pimbloomfilters_spark.functions.dedup import token_minhash_near_dup_pairs  # noqa: E402
+from pimbloomfilters_spark.functions.dedup import (  # noqa: E402
+    token_minhash_near_dup_pairs, token_ngram_decontaminate)
 from pimbloomfilters_spark.functions.packing import packing_stats  # noqa: E402
 from pimbloomfilters_spark.functions.text import token_repetition_stats  # noqa: E402
 from pimbloomfilters_spark.operators import build_sketch  # noqa: E402
@@ -55,6 +58,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
               .filter(F.col("dup_frac") <= 0.05).select("doc_id"))
     kept = tt.join(rep_ok, "doc_id")
     report["after_repetition_filter"] = kept.count()
+
+    bench = tt.filter(F.col("doc_id") % 50 == 0)
+    screened = token_ngram_decontaminate(
+        kept.filter(F.col("doc_id") % 50 != 0), bench, n=13)
+    dirty = screened.filter("contaminated").select("doc_id")
+    kept = (kept.filter(F.col("doc_id") % 50 != 0)
+            .join(dirty, "doc_id", "left_anti"))
+    report["contaminated_removed"] = dirty.count()
+    report["after_decontamination"] = kept.count()
 
     drop = (token_minhash_near_dup_pairs(kept, threshold=0.7)
             .select(F.col("doc_b").alias("doc_id")).distinct())
