@@ -163,3 +163,49 @@ def cms_count_column(df: DataFrame, sketch: Sketch, key_col: str,
         return pd.Series(sk.query_bulk(keys.to_numpy(dtype=np.int64)))
 
     return df.withColumn(out_col, _query(F.col(key_col)))
+
+
+def register_sql_functions(spark, sketch: Sketch,
+                           prefix: str = "pbf") -> list[str]:
+    """Expose a sketch to PLAIN ``spark.sql`` queries as scalar functions —
+    the SQL face of the probe operators, for users who write SQL rather
+    than DataFrame code:
+
+    - membership kinds (bloom/countingbloom): ``<prefix>_member(key)`` ->
+      boolean (contains_bulk per Arrow batch);
+    - frequency kinds (cms/countsketch): ``<prefix>_count(key)`` -> long
+      point estimate (query_bulk).
+
+    The sketch ships ONCE via addFile (the fast path `ship_sketch`
+    documents); each registered function probes the worker-cached copy, so
+    `SELECT * FROM t WHERE pbf_member(k)` scans with zero shuffle exactly
+    like ``probe_key_column``. Returns the registered names. Registration
+    is session-scoped and a second call with the same prefix rebinds to
+    the new sketch."""
+    name = ship_sketch(spark, sketch)
+    registered = []
+    if hasattr(sketch, "contains_bulk"):
+
+        @pandas_udf("boolean")
+        def _member(keys: pd.Series) -> pd.Series:
+            sk = load_shipped_sketch(name)
+            return pd.Series(sk.contains_bulk(keys.to_numpy(dtype=np.int64)))
+
+        spark.udf.register(f"{prefix}_member", _member)
+        registered.append(f"{prefix}_member")
+    if hasattr(sketch, "query_bulk"):
+
+        @pandas_udf("long")
+        def _count(keys: pd.Series) -> pd.Series:
+            sk = load_shipped_sketch(name)
+            return pd.Series(
+                np.asarray(sk.query_bulk(keys.to_numpy(dtype=np.int64)),
+                           dtype=np.int64))
+
+        spark.udf.register(f"{prefix}_count", _count)
+        registered.append(f"{prefix}_count")
+    if not registered:
+        raise ValueError(
+            f"sketch kind {sketch.kind!r} exposes neither contains_bulk "
+            "nor query_bulk; nothing to register")
+    return registered

@@ -159,3 +159,48 @@ def test_nulls_in_keys_and_arrays(spark):
     skk, mk = build_sketch(keys, "k", bloom24)
     lk = bloom24(); lk.insert_bulk(np.array([1, 3], dtype=np.int64))
     assert skk.payload() == lk.payload()
+
+
+def test_register_sql_functions(spark):
+    """Sketches usable from plain spark.sql: pbf_member filters exactly
+    like probe_key_column (no false negatives, same rows at zero-FP
+    geometry); pbf_count matches CMS point estimates; unsupported kinds
+    raise."""
+    import functools
+
+    import numpy as np
+    import pytest as _pt
+
+    from pimbloomfilters_spark.operators import (
+        build_sketch, probe_key_column, register_sql_functions)
+    from pimbloomfilters_spark.sketches import make_sketch
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    bf, _ = build_sketch(df, "k", functools.partial(
+        make_sketch, "bloom", size2=22, nb_hash=8))
+    names = register_sql_functions(spark, bf, prefix="t1")
+    assert names == ["t1_member"]
+    df.createOrReplaceTempView("probe_t")
+    sql_rows = {r["k"] for r in spark.sql(
+        "SELECT k FROM probe_t WHERE t1_member(k)").collect()}
+    api_rows = {r["k"] for r in probe_key_column(df, bf, "k")
+                .filter("member").collect()}
+    assert sql_rows == api_rows == set(range(5000))
+    neg = spark.sql("""SELECT count(*) AS c FROM (
+        SELECT explode(sequence(1000000, 1001000)) AS k) WHERE t1_member(k)
+    """).collect()[0]["c"]
+    assert neg == 0  # zero FP at this geometry/scale
+
+    cms, _ = build_sketch(df.selectExpr("k % 10 AS k"), "k",
+                          functools.partial(make_sketch, "cms",
+                                            eps=1e-4, delta=1e-3))
+    assert register_sql_functions(spark, cms, prefix="t2") == ["t2_count"]
+    est = {r["k"]: r["c"] for r in spark.sql(
+        "SELECT k, t2_count(k) AS c FROM (SELECT explode(sequence(0, 9)) AS k)"
+    ).collect()}
+    assert all(est[k] >= 500 for k in range(10))  # CMS never undercounts
+    assert abs(np.mean(list(est.values())) - 500) < 5
+
+    kll, _ = build_sketch(df, "k", functools.partial(make_sketch, "kll", k=200))
+    with _pt.raises(ValueError):
+        register_sql_functions(spark, kll)
