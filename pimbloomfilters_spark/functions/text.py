@@ -424,3 +424,49 @@ def source_token_divergence(tok_exploded: DataFrame,
         .withColumn("term", term)
         .select(source_col, token_col, "n_st", "n_s", "n_t", "n", "term")
     )
+
+
+def quality_filter_panel(docs: DataFrame, token_df: DataFrame,
+                         text_col: str = "text",
+                         tokens_col: str = "tokens",
+                         id_col: str = "doc_id",
+                         min_words: int = 20, max_words: int = 100_000,
+                         min_wordlen: int = 3, max_wordlen: int = 10,
+                         min_stopwords: int = 2,
+                         alnum_ratio_pct: int = 80,
+                         max_dup_pct: int = 20) -> DataFrame:
+    """Gopher-style composite keep/drop panel (Rae et al. 2021, Table A1
+    adapted to this corpus): one boolean per rule plus the conjunction, so
+    a curator sees WHY each doc dropped. Every rule is an INTEGER
+    comparison over exact counts (thresholds cross-multiplied — e.g. mean
+    word length in [3,10] becomes 3*n_words <= word_chars <=
+    10*n_words) so the output is bit-exactly reproducible on any engine.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_wordlen, max_wordlen]; >= min_stopwords stopwords; alnum-token to
+    word ratio >= alnum_ratio_pct%; repeated-bigram fraction <=
+    max_dup_pct% (docs with no bigram pass vacuously). Pure codegen counts
+    + one equi-join against the repetition stats — no Python, one
+    shuffle."""
+    q = quality_counts(docs, text_col)
+    rep = token_repetition_stats(token_df, tokens_col).select(
+        F.col(id_col), "n_bigrams", "n_distinct")
+    wc = F.col("n_chars") - (F.col("n_words") - 1)
+    dup = F.col("n_bigrams") - F.col("n_distinct")
+    out = (
+        q.join(rep, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_words").between(min_words, max_words).alias("r_wordcount"),
+            ((F.lit(min_wordlen) * F.col("n_words") <= wc)
+             & (wc <= F.lit(max_wordlen) * F.col("n_words"))).alias("r_wordlen"),
+            (F.col("n_stopwords") >= min_stopwords).alias("r_stopwords"),
+            (F.lit(100) * F.col("n_alnum_tokens")
+             >= F.lit(alnum_ratio_pct) * F.col("n_words")).alias("r_alnum"),
+            F.coalesce(F.lit(100) * dup <= F.lit(max_dup_pct) * F.col("n_bigrams"),
+                       F.lit(True)).alias("r_repetition"),
+        )
+    )
+    keep = (F.col("r_wordcount") & F.col("r_wordlen") & F.col("r_stopwords")
+            & F.col("r_alnum") & F.col("r_repetition"))
+    return out.withColumn("keep", keep)

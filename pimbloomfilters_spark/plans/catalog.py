@@ -449,6 +449,51 @@ JOIN sizes sb ON sb.seq_id = i.seq_b
 """
 
 
+def q_quality_filter_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style keep/drop panel — all rules integer-exact."""
+    from ..functions.text import quality_filter_panel
+
+    docs = load_table(spark, sf_dir, "documents")
+    tt = token_table(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return quality_filter_panel(docs, tt)
+
+
+def _quality_panel_oracle() -> str:
+    from ..functions.text import STOPWORDS, TOKEN_RE
+
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return TOKENS_ORACLE_CTE + _bigram_oracle_cte("t1.doc_id,") + f""",
+rep AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, count(*) AS n_bigrams,
+         count(DISTINCT bigram) AS n_distinct
+  FROM big GROUP BY doc_id),
+qc AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_alnum,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains({stop_sql}, w))) AS n_stop
+  FROM documents)
+SELECT q.doc_id,
+  (q.n_words BETWEEN 20 AND 100000) AS r_wordcount,
+  (3 * q.n_words <= q.n_chars - (q.n_words - 1)
+   AND q.n_chars - (q.n_words - 1) <= 10 * q.n_words) AS r_wordlen,
+  (q.n_stop >= 2) AS r_stopwords,
+  (100 * q.n_alnum >= 80 * q.n_words) AS r_alnum,
+  coalesce(100 * (r.n_bigrams - r.n_distinct) <= 20 * r.n_bigrams, TRUE)
+      AS r_repetition,
+  ((q.n_words BETWEEN 20 AND 100000)
+   AND (3 * q.n_words <= q.n_chars - (q.n_words - 1)
+        AND q.n_chars - (q.n_words - 1) <= 10 * q.n_words)
+   AND (q.n_stop >= 2)
+   AND (100 * q.n_alnum >= 80 * q.n_words)
+   AND coalesce(100 * (r.n_bigrams - r.n_distinct) <= 20 * r.n_bigrams, TRUE))
+      AS keep
+FROM qc q LEFT JOIN rep r ON r.doc_id = q.doc_id
+"""
+
+
 def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-token KL(source || corpus) contributions — exact counts + one
     fixed-shape float tree (the tfidf/pmi bit-exact-double rule)."""
@@ -1415,6 +1460,11 @@ CATALOG: dict[str, QuerySpec] = {
         "per-token KL(source||corpus) contributions, counts exact and "
         "terms bit-exact cross-engine",
     ),
+    "quality_filter_panel": QuerySpec(
+        q_quality_filter_panel, _quality_panel_oracle(),
+        "Gopher-style keep/drop panel: per-rule booleans via integer "
+        "cross-multiplied thresholds, exact",
+    ),
     "dna_kmer_stats": QuerySpec(
         q_dna_kmer_stats, _ORACLE_KMER_STATS,
         "distinct 2-bit-packed k-mers per synthetic genome, exact",
@@ -1693,7 +1743,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cosine_topk_blocked", "range_join_error_sessions", "asof_purchase_view",
     # new in round 4 (registered below if present)
     "dedup_exact_hash", "embedding_source_stats", "mash_distance",
-    "token_ngram_decontaminate", "source_token_kl",
+    "token_ngram_decontaminate", "source_token_kl", "quality_filter_panel",
     # green in round 2 only — fell out of the round-3 window
     "cosine_topk", "ann_lsh_topk", "ivf_topk", "multimodal_decode_stats",
     "multimodal_ppm_decode", "pipeline_end_to_end", "near_dup_clusters",

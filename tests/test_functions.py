@@ -865,3 +865,34 @@ def test_source_token_divergence_math(spark):
         kl = sum(t for (s, _), (_, _, _, _, t) in got.items() if s == src)
         assert kl >= -1e-12, (src, kl)
     assert sum(t for (_, _, _, _, t) in got.values()) > 1e-3  # A != B
+
+
+def test_quality_filter_panel_rules(spark):
+    """Each rule independently drops its planted violator; clean doc keeps;
+    a doc absent from the token table passes repetition vacuously."""
+    from pimbloomfilters_spark.functions.text import quality_filter_panel
+
+    good_words = ("the cat and dog sat with all one two out " * 4).strip()
+    docs = spark.createDataFrame(
+        [(1, good_words),                             # clean: 40 words
+         (2, "the and " + "word " * 3),               # too few words
+         (3, "the and " + "supercalifragilistic " * 38),  # mean wordlen > 10
+         (4, ("xy " * 39).strip() + " z"),            # no stopwords
+         (5, good_words + " " + "!! ?? ## $$ %% ^^ && ** (( )) [[ ]] {{ }} :: ;; << >> || ~~ ``"),
+         (6, good_words)],                            # repetition (tokens below)
+        "doc_id long, text string")
+    toks = spark.createDataFrame(
+        [(1, list(range(40))), (3, list(range(40))), (4, list(range(40))),
+         (5, list(range(60))),
+         (6, [7, 8] * 20)],                           # all bigrams repeat
+        "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r for r in quality_filter_panel(docs, toks).collect()}
+    assert got[1]["keep"] and all(got[1][c] for c in
+                                  ("r_wordcount", "r_wordlen", "r_stopwords",
+                                   "r_alnum", "r_repetition"))
+    assert not got[2]["r_wordcount"] and not got[2]["keep"]
+    assert not got[3]["r_wordlen"] and not got[3]["keep"]
+    assert not got[4]["r_stopwords"] and not got[4]["keep"]
+    assert not got[5]["r_alnum"] and not got[5]["keep"]
+    assert not got[6]["r_repetition"] and not got[6]["keep"]
+    assert got[2]["r_repetition"]  # doc 2 absent from tokens -> vacuous pass
