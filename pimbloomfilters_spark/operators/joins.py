@@ -63,7 +63,8 @@ def bloom_runtime_filter_join(
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
               out_col: str = "asof",
-              salt_bucket_seconds: int | None = None) -> DataFrame:
+              salt_bucket_seconds: int | None = None,
+              tolerance_seconds: int | float | None = None) -> DataFrame:
     """As-of (most-recent-prior) join: every left row gains ``out_col``, a
     struct of the right row with the LARGEST right_ts <= left_ts for the
     same ``on`` key (null when no prior right row exists) — the time-series
@@ -87,7 +88,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     per occupied bucket), so the only per-key-alone window runs over
     #buckets rows, not #events. Result is identical to the unsalted plan
     (right-ts ties per key resolve arbitrarily in BOTH plans). Set it near
-    the hot key's event span / desired parallelism."""
+    the hot key's event span / desired parallelism.
+
+    ``tolerance_seconds``: pandas ``merge_asof(tolerance=)`` semantics —
+    a match older than ``left_ts - tolerance`` is nulled out (a quote from
+    last week should not price today's trade). Applied as a post-filter on
+    the matched struct's own timestamp, so it composes with both plans at
+    zero extra cost."""
     lcols, rcols = left.columns, right.columns
     rtype = right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
     ltype = left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
@@ -105,10 +112,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     )
     from pyspark.sql import Window
 
+    def _tolerance(res: DataFrame) -> DataFrame:
+        if tolerance_seconds is None:
+            return res
+        ok = (F.col(f"{out_col}.{right_ts}").cast("double")
+              >= F.col(left_ts).cast("double") - float(tolerance_seconds))
+        return res.withColumn(out_col, F.when(ok, F.col(out_col)))
+
     if salt_bucket_seconds is None:
         w = (Window.partitionBy("_k").orderBy("_ats", "_is_left")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        return (
+        return _tolerance(
             l2.unionAll(r2)
             .withColumn(out_col, F.last("_rrow", ignorenulls=True).over(w))
             .filter(F.col("_is_left") == 1)
@@ -154,11 +168,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         .withColumn("_win", F.last("_rrow", ignorenulls=True).over(wl))
         .filter(F.col("_is_left") == 1)
     )
-    return (
+    res = (
         within.join(carry, ["_k", "_b"], "left")
         .withColumn(out_col, F.coalesce("_win", "_carry"))
         .select("_lrow.*", out_col)
     )
+    return _tolerance(res)
 
 
 def range_join(left: DataFrame, right: DataFrame, left_ts: str,

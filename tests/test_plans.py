@@ -345,3 +345,24 @@ def test_range_join_semantics(spark):
         spark.createDataFrame([(9, "u", 8000)], "event_id long, user string, ts long"),
         right, "ts", "s", "e", on="user", bucket_seconds=3600)
     assert [(r["event_id"], r["range"]["iid"]) for r in edge.collect()] == [(9, 10)]
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof-style tolerance: a match older than left_ts - tolerance
+    is nulled, on both the unsalted and salted plans; matches inside the
+    window are untouched."""
+    from pimbloomfilters_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 500), (3, "v", 100)],
+        "event_id long, user string, ts long")
+    right = spark.createDataFrame(
+        [(10, "u", 90), (11, "u", 200), (12, "v", 5)],
+        "rid long, user string, ts long")
+    for salt in (None, 60):
+        out = {r["event_id"]: r["asof"] for r in asof_join(
+            left, right, on="user", tolerance_seconds=50,
+            salt_bucket_seconds=salt).collect()}
+        assert out[1]["rid"] == 10          # 100-90 <= 50: kept
+        assert out[2] is None               # latest is 200; 500-200 > 50
+        assert out[3] is None               # 100-5 > 50
