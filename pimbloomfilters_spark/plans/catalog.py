@@ -449,6 +449,40 @@ JOIN sizes sb ON sb.seq_id = i.seq_b
 """
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan table profile (ANALYZE-style): exact row/null counts per
+    column + HLL ndv within the published bound vs exact distinct."""
+    from ..operators.profile import profile_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    cols = cust.columns
+    ex_row = cust.select(
+        *[F.countDistinct(c).alias(c) for c in cols]).collect()[0]
+    ex = spark.createDataFrame([(c, int(ex_row[c])) for c in cols],
+                               "col_name string, ndv_exact long")
+    rse = 1.04 / (1 << 14) ** 0.5
+    prof = profile_table(cust).withColumnRenamed("column", "col_name")
+    return (
+        prof.join(ex, "col_name")
+        .select(
+            "col_name", "n_rows", "n_nulls", "ndv_exact",
+            (F.abs(F.col("ndv_est") - F.col("ndv_exact"))
+             <= 4 * rse * F.col("ndv_exact") + F.lit(3.0)).alias("ndv_ok"))
+    )
+
+
+def _profile_oracle() -> str:
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    parts = [
+        f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_exact, TRUE AS ndv_ok "
+        f"FROM customer"
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_quality_filter_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style keep/drop panel — all rules integer-exact."""
     from ..functions.text import quality_filter_panel
@@ -1465,6 +1499,11 @@ CATALOG: dict[str, QuerySpec] = {
         "Gopher-style keep/drop panel: per-rule booleans via integer "
         "cross-multiplied thresholds, exact",
     ),
+    "profile_table": QuerySpec(
+        q_profile_table, _profile_oracle(),
+        "one-scan ANALYZE-style table profile: exact row/null counts, "
+        "HLL ndv within bound per column",
+    ),
     "dna_kmer_stats": QuerySpec(
         q_dna_kmer_stats, _ORACLE_KMER_STATS,
         "distinct 2-bit-packed k-mers per synthetic genome, exact",
@@ -1744,6 +1783,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 4 (registered below if present)
     "dedup_exact_hash", "embedding_source_stats", "mash_distance",
     "token_ngram_decontaminate", "source_token_kl", "quality_filter_panel",
+    "profile_table",
     # green in round 2 only — fell out of the round-3 window
     "cosine_topk", "ann_lsh_topk", "ivf_topk", "multimodal_decode_stats",
     "multimodal_ppm_decode", "pipeline_end_to_end", "near_dup_clusters",

@@ -204,3 +204,29 @@ def test_register_sql_functions(spark):
     kll, _ = build_sketch(df, "k", functools.partial(make_sketch, "kll", k=200))
     with _pt.raises(ValueError):
         register_sql_functions(spark, kll)
+
+
+def test_profile_table_nulls_and_ndv(spark):
+    """One-scan profiler: exact null counts off the Arrow validity mask,
+    HLL ndv within its published bound per column, across partitions."""
+    from pyspark.sql import functions as F
+
+    from pimbloomfilters_spark.operators.profile import profile_table
+
+    n = 20_000
+    df = (spark.range(n).repartition(8)
+          .select(
+              F.col("id"),
+              F.when(F.col("id") % 7 != 0, F.col("id") % 100)
+               .alias("mod_sparse"),
+              F.when(F.col("id") % 2 == 0, F.concat(F.lit("s"),
+                     (F.col("id") % 5000).cast("string"))).alias("s_half")))
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == n and prof["id"]["n_nulls"] == 0
+    assert prof["mod_sparse"]["n_nulls"] == len([i for i in range(n) if i % 7 == 0])
+    assert prof["s_half"]["n_nulls"] == n // 2
+    rse = 1.04 / (1 << 14) ** 0.5
+    # even ids mod 5000 (even) hit only the 2500 even residues
+    for col, exact in (("id", n), ("mod_sparse", 100), ("s_half", 2500)):
+        est = prof[col]["ndv_est"]
+        assert abs(est - exact) <= 4 * rse * exact + 3, (col, est, exact)
