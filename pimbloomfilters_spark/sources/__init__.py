@@ -1,5 +1,6 @@
-from .tables import TABLES, load_table, token_table, token_table_oracle_cte
+from .bucketed import read_bucketed, write_bucketed
 from .synthetic import generate_token_sequences
+from .tables import TABLES, load_table, token_table, token_table_oracle_cte
 
 __all__ = [
     "TABLES",
@@ -7,4 +8,6 @@ __all__ = [
     "token_table",
     "token_table_oracle_cte",
     "generate_token_sequences",
+    "write_bucketed",
+    "read_bucketed",
 ]

@@ -366,3 +366,37 @@ def test_asof_join_tolerance(spark):
         assert out[1]["rid"] == 10          # 100-90 <= 50: kept
         assert out[2] is None               # latest is 200; 500-200 > 50
         assert out[3] is None               # 100-5 > 50
+
+
+def test_bucketed_tables_elide_join_and_agg_shuffle(spark, tmp_path_factory):
+    """The write-once-shuffle-never lever: two tables bucketed on the same
+    key join with ZERO Exchange (and, bucket-sorted, zero extra Sort on
+    the probe side input); a groupBy on the bucket key also runs
+    exchange-free. Results equal the plain-parquet plans."""
+    from pimbloomfilters_spark.sources import read_bucketed, write_bucketed
+
+    d = tmp_path_factory.mktemp("buckets")
+    a = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    b = spark.range(0, 20_000, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+    write_bucketed(a, "bt_a", "k", 8, sort_col="k", path=str(d / "a"))
+    write_bucketed(b, "bt_b", "k", 8, sort_col="k", path=str(d / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "bt_a").join(read_bucketed(spark, "bt_b"), "k")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+        assert j.count() == 10_000
+        g = read_bucketed(spark, "bt_a").groupBy("k").agg(F.sum("v").alias("s"))
+        assert "Exchange" not in _plan(g)
+        assert g.count() == 20_000
+        # parity with the unbucketed plan
+        pj = a.join(b, "k").agg(F.sum(F.col("v") + F.col("w"))).collect()[0][0]
+        bj = j.agg(F.sum(F.col("v") + F.col("w"))).collect()[0][0]
+        assert pj == bj
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
