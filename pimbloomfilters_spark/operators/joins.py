@@ -112,11 +112,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     )
     from pyspark.sql import Window
 
+    lkind = dict(left.dtypes)[left_ts]
+    rkind = dict(right.dtypes)[right_ts]
+
+    def _secs(col, kind):
+        # numeric event-time columns pass through; timestamp/date types
+        # (incl. TIMESTAMP_NTZ, which cannot cast to double directly) go
+        # via epoch micros
+        if kind.startswith("timestamp") or kind == "date":
+            return F.unix_micros(col.cast("timestamp")).cast("double") / 1e6
+        return col.cast("double")
+
     def _tolerance(res: DataFrame) -> DataFrame:
         if tolerance_seconds is None:
             return res
-        ok = (F.col(f"{out_col}.{right_ts}").cast("double")
-              >= F.col(left_ts).cast("double") - float(tolerance_seconds))
+        ok = (_secs(F.col(f"{out_col}.{right_ts}"), rkind)
+              >= _secs(F.col(left_ts), lkind) - float(tolerance_seconds))
         return res.withColumn(out_col, F.when(ok, F.col(out_col)))
 
     if salt_bucket_seconds is None:
@@ -131,11 +142,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     B = int(salt_bucket_seconds)
 
-    def _bucket(c):
-        return F.floor(F.col(c).cast("double") / B).cast("long")
+    def _bucket(c, kind):
+        return F.floor(_secs(F.col(c), kind) / B).cast("long")
 
-    l2 = l2.withColumn("_b", _bucket("_ats"))
-    r2 = r2.withColumn("_b", _bucket("_ats"))
+    l2 = l2.withColumn("_b", _bucket("_ats", lkind))
+    r2 = r2.withColumn("_b", _bucket("_ats", rkind))
     # per-(key, bucket) digest of the right side: the bucket's LATEST right
     # struct — the hot key shrinks to its bucket count before any
     # per-key-alone window sees it

@@ -1783,7 +1783,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 4 (registered below if present)
     "dedup_exact_hash", "embedding_source_stats", "mash_distance",
     "token_ngram_decontaminate", "source_token_kl", "quality_filter_panel",
-    "profile_table",
+    "profile_table", "asof_purchase_view_salted",
     # green in round 2 only — fell out of the round-3 window
     "cosine_topk", "ann_lsh_topk", "ivf_topk", "multimodal_decode_stats",
     "multimodal_ppm_decode", "pipeline_end_to_end", "near_dup_clusters",

@@ -195,6 +195,26 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def q_asof_purchase_view_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME attribution query through the hot-key-salted plan
+    (salt_bucket_seconds): per-event windows partition by (user, time
+    bucket), cross-bucket carry-in on per-bucket digests. Must be
+    hash-identical to the unsalted gate's oracle — the driver-verified
+    proof the salted rewrite is result-equivalent (tie-free here: the
+    events table has no duplicate (user, ts) view rows)."""
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id", "ts"))
+    out = asof_join(purchases, views, on="user_id",
+                    salt_bucket_seconds=6 * 3600)
+    return out.select("event_id",
+                      F.col("asof").getField("view_id").alias("matched_view_id"))
+
+
 def q_range_join_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval-containment) join: place every error event inside
     its user's session interval — sessions derived with the SAME gap rule
@@ -262,6 +282,10 @@ EVENTS_CATALOG: dict[str, QuerySpec] = {
     "asof_purchase_view": QuerySpec(
         q_asof_purchase_view, _ORACLE_ASOF,
         "as-of join: each purchase attributed to the latest prior view"),
+    "asof_purchase_view_salted": QuerySpec(
+        q_asof_purchase_view_salted, _ORACLE_ASOF,
+        "the same as-of attribution through the hot-key-salted plan — "
+        "result-equivalence driver-verified"),
     "user_sessions": QuerySpec(
         q_user_sessions, _ORACLE_SESSIONS,
         "gap-based sessionization: per-user session count + largest session"),

@@ -144,6 +144,17 @@ def main() -> int:
     km.add_argument("--id-col", default="seq_id")
     km.add_argument("--out", required=True)
 
+    pr = sub.add_parser(
+        "profile",
+        help="one-scan ANALYZE-style table profile: per-column row/null "
+             "counts + HLL distinct estimate; writes (column, n_rows, "
+             "n_nulls, ndv_est)")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all)")
+    pr.add_argument("--hll-p", type=int, default=14)
+    pr.add_argument("--out", required=True)
+
     sc_ = sub.add_parser(
         "screen",
         help="token n-gram benchmark decontamination over pre-tokenized "
@@ -253,6 +264,18 @@ def main() -> int:
         return 0
 
     df = spark.read.parquet(args.input)
+
+    if args.cmd == "profile":
+        from pimbloomfilters_spark.operators.profile import profile_table
+
+        cols = args.columns.split(",") if args.columns else None
+        out = profile_table(df, columns=cols, hll_p=args.hll_p)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out,
+                          "columns": [r.asDict() for r in out.collect()]},
+                         default=str))
+        spark.stop()
+        return 0
 
     if args.cmd == "kmers":
         from pimbloomfilters_spark.functions.kmer import dna_kmers
