@@ -326,3 +326,62 @@ def test_wav_codec_roundtrip_and_rejection(samples, rate):
         with _pt.raises(ValueError):
             # truncate inside the data chunk: declared size > available
             decode_wav(blob[:-7])
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=st.lists(
+    st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+             min_size=0, max_size=25),
+    min_size=1, max_size=10),
+    n=st.integers(min_value=1, max_value=6))
+def test_token_ngram_codes_match_reference(rows, n):
+    """The flat KR n-gram coder (boundary masking, Horner mod 2^31-1,
+    lexsort dedup) must agree with a per-row Python reference for
+    arbitrary token arrays including empty and shorter-than-n rows."""
+    import pyarrow as pa
+
+    from pimbloomfilters_spark.functions.dedup import (
+        _batch_distinct_token_ngram_codes)
+
+    col = pa.array(rows, type=pa.list_(pa.int64()))
+    codes, starts, doc_idx = _batch_distinct_token_ngram_codes(col, n)
+    P, B = (1 << 31) - 1, 257
+    expect = {}
+    for i, toks in enumerate(rows):
+        s = set()
+        for p in range(len(toks) - n + 1):
+            v = 0
+            for t in toks[p:p + n]:
+                v = (v * B + t) % P
+            s.add(v)
+        if s:
+            expect[i] = s
+    got = {}
+    bounds = list(starts) + [len(codes)]
+    for j, d in enumerate(doc_idx):
+        got[int(d)] = set(int(x) for x in codes[bounds[j]:bounds[j + 1]])
+    assert got == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=st.lists(
+    st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+             min_size=3, max_size=25),
+    min_size=2, max_size=10),
+    offset=st.integers(min_value=0, max_value=3))
+def test_token_ngram_codes_sliced_batch(rows, offset):
+    """A SLICED Arrow list array (offsets not starting at 0 — what Spark
+    hands mapInArrow mid-stream) must code identically to the unsliced
+    equivalent."""
+    import pyarrow as pa
+
+    from pimbloomfilters_spark.functions.dedup import (
+        _batch_distinct_token_ngram_codes)
+
+    offset = min(offset, len(rows) - 1)
+    full = pa.array(rows, type=pa.list_(pa.int64()))
+    sliced = full.slice(offset)
+    plain = pa.array(rows[offset:], type=pa.list_(pa.int64()))
+    a = _batch_distinct_token_ngram_codes(sliced, 3)
+    b = _batch_distinct_token_ngram_codes(plain, 3)
+    assert [x.tolist() for x in a] == [x.tolist() for x in b]
