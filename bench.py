@@ -181,6 +181,46 @@ def run_bench() -> dict:
             "bound": round(bf.theoretical_fpr_bound(n), 7),
         })
 
+    # ---- estimate-vs-published-bound sweep (CMS / KLL / HLL) -------------------
+    # numpy-only twin of the FPR sweep: deterministic zipf-ish stream, max
+    # observed error vs the algorithm's bound at several geometries — the
+    # "estimates within published error bounds" criterion, measured every run
+    rng_vals = (np.arange(2_000_000, dtype=np.int64) % 50_000) ** 2 % 9973
+    err_sweep = []
+    for eps in (1e-3, 1e-4):
+        cms = make_sketch("cms", eps=eps, delta=1e-3)
+        cms.insert_bulk(rng_vals)
+        uniq, cnt = np.unique(rng_vals, return_counts=True)
+        over = cms.query_bulk(uniq) - cnt
+        err_sweep.append({
+            "kind": "cms", "eps": eps,
+            "max_overestimate": int(over.max()), "min_overestimate": int(over.min()),
+            "bound_eps_n": int(np.ceil(eps * rng_vals.size)),
+            "ok": bool(over.min() >= 0 and over.max() <= eps * rng_vals.size),
+        })
+    for k in (100, 200):
+        kll = make_sketch("kll", k=k)
+        kll.insert_bulk(rng_vals)
+        qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+        srt = np.sort(rng_vals)
+        rank_err = max(
+            abs(np.searchsorted(srt, kll.quantile(q), side="right")
+                / rng_vals.size - q) for q in qs)
+        bound = 2.861 / k  # Karnin-Lang-Liberty single-quantile bound ~c/k
+        err_sweep.append({"kind": "kll", "k": k,
+                          "max_rank_error": round(float(rank_err), 5),
+                          "bound": round(bound, 5),
+                          "ok": bool(rank_err <= bound)})
+    for p in (12, 14):
+        hll = make_sketch("hll", p=p)
+        hll.insert_bulk(np.arange(1_000_000, dtype=np.int64))
+        rel = abs(hll.estimate() - 1_000_000) / 1_000_000
+        bound = 4 * 1.04 / (1 << p) ** 0.5
+        err_sweep.append({"kind": "hll", "p": p,
+                          "rel_error": round(float(rel), 5),
+                          "bound_4sigma": round(bound, 5),
+                          "ok": bool(rel <= bound)})
+
     # ---- oracle-gated catalog queries at SF_DIR ---------------------------------
     # best-of-N here too: this box shows transient 4-8x multi-tenant stalls
     # (a single 5s query was once measured at 48s), and a one-shot timing
@@ -217,6 +257,7 @@ def run_bench() -> dict:
         },
         "fpr": fpr,
         "fpr_sweep": fpr_sweep,
+        "error_sweep": err_sweep,
     }
 
 
