@@ -1,6 +1,7 @@
 from .stream_build import (
     dedup_stream_query,
     screen_stream,
+    stream_interval_join,
     get_stream_sketch,
     sharded_dedup_stream,
     sketch_stream_query,
@@ -20,4 +21,5 @@ __all__ = [
     "windowed_quantiles_stream",
     "dedup_stream_query",
     "screen_stream",
+    "stream_interval_join",
 ]

@@ -782,3 +782,42 @@ def screen_stream(stream_df, sketch, n: int = 13,
     from ..functions.dedup import screen_token_ngrams
 
     return screen_token_ngrams(stream_df, sketch, n, tokens_col, id_col)
+
+
+def stream_interval_join(left_stream: DataFrame, right_stream: DataFrame,
+                         on: str, left_ts: str, right_ts: str,
+                         lookback: str = "1 hour",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """STREAM-STREAM attribution-candidate join: every left event paired
+    with all right events of the same key inside its lookback window
+    (left_ts - lookback < right_ts <= left_ts) — the streaming prefix of
+    an as-of join (pick-the-latest is a per-left-row aggregation a
+    downstream batch step or foreachBatch applies; a pure append stream
+    cannot emit "the latest so far" without retracting it later, so the
+    candidate set IS the correct streaming contract).
+
+    Uses Spark's native watermarked stream-stream inner join: BOTH sides
+    carry the event-time watermark and the join condition bounds
+    right_ts relative to left_ts, which is exactly what lets Spark evict
+    buffered rows older than watermark + lookback — state stays bounded
+    by (rate x (lookback + watermark)), the canonical pattern. Output
+    columns: (key, left/right event-time columns aliased apart, and each
+    side's payload struct)."""
+    lcols = [c for c in left_stream.columns if c not in (on, left_ts)]
+    rcols = [c for c in right_stream.columns if c not in (on, right_ts)]
+    l = (left_stream
+         .withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+         .withWatermark(left_ts, watermark)
+         .select(F.col(on).alias("_k"), F.col(left_ts).alias("_lts"),
+                 F.struct(*lcols).alias("left_row")))
+    r = (right_stream
+         .withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+         .withWatermark(right_ts, watermark)
+         .select(F.col(on).alias("_rk"), F.col(right_ts).alias("_rts"),
+                 F.struct(*rcols).alias("right_row")))
+    cond = ((F.col("_k") == F.col("_rk"))
+            & (F.col("_rts") <= F.col("_lts"))
+            & (F.col("_rts") > F.col("_lts") - F.expr(f"INTERVAL {lookback}")))
+    return (l.join(r, cond)
+            .select(F.col("_k").alias(on), F.col("_lts").alias("left_ts"),
+                    F.col("_rts").alias("right_ts"), "left_row", "right_row"))

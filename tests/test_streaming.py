@@ -572,3 +572,49 @@ def test_screen_stream_matches_batch(spark, tmp_path_factory):
            for r in spark.sql("select * from screen_out").collect()}
     assert got == expect
     assert any(m for _, m, _ in got.values())  # planted overlap was found
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream attribution join == the batch interval
+    join for every pair the watermark has passed, across micro-batches."""
+    import datetime as dt
+
+    from pimbloomfilters_spark.streaming import stream_interval_join
+
+    base = dt.datetime(2025, 6, 1, 12, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    l_rows = [(u, 100 + i, m(10 * i + 5)) for u in (1, 2) for i in range(4)]
+    r_rows = [(u, 500 + j, m(7 * j)) for u in (1, 2, 3) for j in range(5)]
+    far = dt.timedelta(days=30)
+    ldir = str(tmp_path_factory.mktemp("sij_l"))
+    rdir = str(tmp_path_factory.mktemp("sij_r"))
+    lschema = "user_id long, purchase_id long, ts timestamp"
+    rschema = "user_id long, view_id long, ts timestamp"
+    for lo in (0, 4):
+        spark.createDataFrame(l_rows[lo:lo + 4], lschema) \
+            .coalesce(1).write.mode("append").parquet(ldir)
+    spark.createDataFrame([(99, 999, base + far)], lschema) \
+        .coalesce(1).write.mode("append").parquet(ldir)  # advance watermark
+    spark.createDataFrame(r_rows, rschema).coalesce(1) \
+        .write.mode("append").parquet(rdir)
+    spark.createDataFrame([(99, 998, base + far)], rschema) \
+        .coalesce(1).write.mode("append").parquet(rdir)
+
+    ls = (spark.readStream.schema(lschema)
+          .option("maxFilesPerTrigger", 1).parquet(ldir))
+    rs = (spark.readStream.schema(rschema)
+          .option("maxFilesPerTrigger", 1).parquet(rdir))
+    out = stream_interval_join(ls, rs, on="user_id", left_ts="ts",
+                               right_ts="ts", lookback="15 minutes",
+                               watermark="1 minute")
+    q = (out.writeStream.format("memory").queryName("sij_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["left_row"]["purchase_id"],
+            r["right_row"]["view_id"])
+           for r in spark.sql("select * from sij_out").collect()
+           if r["user_id"] != 99}
+    expect = {(u, p, v)
+              for (u, p, lt) in l_rows for (u2, v, rt) in r_rows
+              if u == u2 and rt <= lt and rt > lt - dt.timedelta(minutes=15)}
+    assert got == expect and expect
