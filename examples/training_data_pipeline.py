@@ -62,11 +62,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     bench = tt.filter(F.col("doc_id") % 50 == 0)
     screened = token_ngram_decontaminate(
         kept.filter(F.col("doc_id") % 50 != 0), bench, n=13)
-    dirty = screened.filter("contaminated").select("doc_id")
+    # cache: both the count and the anti-join read this, and re-evaluating
+    # would re-run the Bloom build + full corpus screen
+    dirty = screened.filter("contaminated").select("doc_id").cache()
     kept = (kept.filter(F.col("doc_id") % 50 != 0)
             .join(dirty, "doc_id", "left_anti"))
     report["contaminated_removed"] = dirty.count()
     report["after_decontamination"] = kept.count()
+    # dirty stays cached: every later stage re-evaluates `kept`, which
+    # reads it; the blob is a handful of doc ids
 
     drop = (token_minhash_near_dup_pairs(kept, threshold=0.7)
             .select(F.col("doc_b").alias("doc_id")).distinct())

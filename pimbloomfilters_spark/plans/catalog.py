@@ -356,7 +356,11 @@ def q_mash_genome_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.kmer import dna_kmers, kmer_minhash_signatures, synth_dna
 
     dna = synth_dna(spark, _MASH_NSEQ, _KMER_LEN)
-    km = dna_kmers(dna, k=_KMER_K, canonical=True).cache()
+    # no .cache(): a lazy gate fn has no post-action hook to unpersist, so
+    # a cache here would pin the k-mer table in executor storage for the
+    # whole gate-runner session; recomputing the (cheap, 30-seq) extraction
+    # per scan is the right trade
+    km = dna_kmers(dna, k=_KMER_K, canonical=True)
     a = km.select(F.col("seq_id").alias("seq_a"), "kmer")
     b = km.select(F.col("seq_id").alias("seq_b"), "kmer")
     inter = (a.join(b, "kmer").filter("seq_a < seq_b")
@@ -420,7 +424,11 @@ def q_mash_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.kmer import dna_kmers, mash_distance, synth_dna
 
     dna = synth_dna(spark, _MASH_NSEQ, _KMER_LEN)
-    km = dna_kmers(dna, k=_KMER_K, canonical=True).cache()
+    # no .cache(): a lazy gate fn has no post-action hook to unpersist, so
+    # a cache here would pin the k-mer table in executor storage for the
+    # whole gate-runner session; recomputing the (cheap, 30-seq) extraction
+    # per scan is the right trade
+    km = dna_kmers(dna, k=_KMER_K, canonical=True)
     a = km.select(F.col("seq_id").alias("seq_a"), "kmer")
     b = km.select(F.col("seq_id").alias("seq_b"), "kmer")
     inter = (a.join(b, "kmer").filter("seq_a < seq_b")

@@ -57,27 +57,36 @@ class CountingBloomFilter(Sketch):
 
     _CHUNK = 1 << 19
 
-    def insert_bulk(self, values: np.ndarray) -> None:
-        """Increment the k counters of each value. All-or-nothing: every
-        chunk's per-cell increments are aggregated (``np.unique`` with
-        counts, like ``delete_bulk``) and headroom-checked against uint16
-        BEFORE any counter is touched — a ``before/after`` wrap probe would
-        miss increments that are exact multiples of 65536 within a chunk
-        (e.g. one hot key repeated 65536 times wraps its k cells back to
-        their prior value), silently re-introducing false negatives."""
-        values = np.asarray(values)
+    def _staged_counts(self, values: np.ndarray):
+        """(staged, cells, totals): per-chunk aggregated (cell, count)
+        pairs plus the cross-chunk per-cell totals — the shared staging
+        pass behind all-or-nothing insert/delete. Fully vectorized: one
+        ``np.unique`` per chunk, then one concat + unique + bincount over
+        the (already tiny) per-chunk aggregates."""
         staged = []
-        total_inc: dict[int, int] = {}
         for lo in range(0, values.size, self._CHUNK):
             pos = self._positions(values[lo:lo + self._CHUNK])
-            u, inc = np.unique(pos, return_counts=True)
-            staged.append((u, inc))
-            for cell, d in zip(u.tolist(), inc.tolist()):
-                total_inc[cell] = total_inc.get(cell, 0) + d
-        cells = np.fromiter(total_inc.keys(), dtype=np.int64,
-                            count=len(total_inc))
-        incs = np.fromiter(total_inc.values(), dtype=np.int64,
-                           count=len(total_inc))
+            u, cnt = np.unique(pos, return_counts=True)  # O(chunk log chunk)
+            staged.append((u, cnt))
+        if not staged:
+            return staged, np.empty(0, np.int64), np.empty(0, np.int64)
+        cells, inv = np.unique(np.concatenate([u for u, _ in staged]),
+                               return_inverse=True)
+        totals = np.bincount(
+            inv, weights=np.concatenate([c for _, c in staged]),
+            minlength=cells.size).astype(np.int64)
+        return staged, cells, totals
+
+    def insert_bulk(self, values: np.ndarray) -> None:
+        """Increment the k counters of each value. All-or-nothing: every
+        chunk's per-cell increments are aggregated and headroom-checked
+        against uint16 BEFORE any counter is touched — a ``before/after``
+        wrap probe would miss increments that are exact multiples of 65536
+        within a chunk (e.g. one hot key repeated 65536 times wraps its k
+        cells back to their prior value), silently re-introducing false
+        negatives."""
+        values = np.asarray(values)
+        staged, cells, incs = self._staged_counts(values)
         if cells.size and (incs > np.iinfo(np.uint16).max
                            - self._counters[cells]).any():
             raise OverflowError(
@@ -89,24 +98,11 @@ class CountingBloomFilter(Sketch):
     def delete_bulk(self, values: np.ndarray) -> None:
         """Decrement the k counters of each value. Only delete items that
         were inserted (see module docstring); an underflow raises and the
-        filter state is left unchanged."""
+        filter state is left unchanged — validated across ALL chunks
+        before any counter moves (the all-or-nothing promise holds across
+        chunk boundaries)."""
         values = np.asarray(values)
-        # validate EVERY chunk before applying ANY (the all-or-nothing
-        # promise must hold across chunk boundaries too): stage the
-        # (cell, decrement) pairs, accumulate cross-chunk decrements, then
-        # apply only if the whole batch fits
-        staged = []
-        total_dec: dict[int, int] = {}
-        for lo in range(0, values.size, self._CHUNK):
-            pos = self._positions(values[lo:lo + self._CHUNK])
-            u, dec = np.unique(pos, return_counts=True)  # O(chunk log chunk)
-            staged.append((u, dec))
-            for cell, d in zip(u.tolist(), dec.tolist()):
-                total_dec[cell] = total_dec.get(cell, 0) + d
-        cells = np.fromiter(total_dec.keys(), dtype=np.int64,
-                            count=len(total_dec))
-        decs = np.fromiter(total_dec.values(), dtype=np.int64,
-                           count=len(total_dec))
+        staged, cells, decs = self._staged_counts(values)
         if cells.size and (self._counters[cells] < decs).any():
             raise ValueError(
                 "delete of a non-inserted item (counter underflow)")

@@ -733,21 +733,29 @@ def session_stream(
         ]))
         if ts.size == 0:
             return
+        # Sessionize batch events AND the stored open session together in
+        # time order, the open session as an ATOM (start, last, n) — its
+        # internal gaps are <= gap by construction, so merging an atom is
+        # exactly the batch gap rule. This handles every late-event case
+        # the incremental fold got wrong: a within-watermark event older
+        # than the stored start joins (and extends) the session only when
+        # it is within `gap` of it; an event MORE than `gap` older forms
+        # its own earlier session (emitted closed immediately), matching
+        # batch sessionization exactly.
+        items = [(int(t), int(t), 1) for t in ts.tolist()]
         if state.exists:
-            start_ms, last_ms, n = state.get
-        else:  # no prior state: the first event will open the session
-            start_ms, last_ms, n = int(ts[0]), int(ts[0]), 0
+            items.append(tuple(int(v) for v in state.get))
+        items.sort()
+        cur = list(items[0])
         closed = []
-        for t in ts.tolist():
-            if n > 0 and t - last_ms > gap_ms:
-                closed.append((start_ms, last_ms, n))
-                start_ms, n = t, 0
-            # ALWAYS extend the open session backward: a within-watermark
-            # late event older than the stored start (negative gap) joins
-            # the session, so session_start must never post-date the
-            # earliest counted event — not only on the n == 0 open
-            start_ms = min(start_ms, t)
-            last_ms, n = max(last_ms, t), n + 1
+        for s, e, c in items[1:]:
+            if s - cur[1] <= gap_ms:
+                cur[1] = max(cur[1], e)
+                cur[2] += c
+            else:
+                closed.append(tuple(cur))
+                cur = [s, e, c]
+        start_ms, last_ms, n = cur
         state.update((int(start_ms), int(last_ms), int(n)))
         state.setTimeoutTimestamp(int(last_ms) + gap_ms)
         if closed:

@@ -506,8 +506,11 @@ def test_session_stream_late_event_extends_start(spark, tmp_path_factory):
     m = lambda k: base + dt.timedelta(minutes=k)
     data_dir = str(tmp_path_factory.mktemp("sess_late"))
     files = [
-        [(1, m(10)), (1, m(20))],   # batch 1: opens session at 9:10
-        [(1, m(5))],                # batch 2: late, joins (gap 5-20min < 30)
+        # user 1: late event WITHIN gap of the open session -> joins it.
+        # user 2: late event MORE than gap older -> its own earlier
+        #         session (the batch gap rule), emitted closed at once.
+        [(1, m(10)), (1, m(20)), (2, m(100)), (2, m(110))],
+        [(1, m(5)), (2, m(40))],    # batch 2: the late arrivals
         [(999, m(60 * 24 * 30))],   # batch 3: sentinel closes via timeout
     ]
     for batch in files:
@@ -521,10 +524,13 @@ def test_session_stream_late_event_extends_start(spark, tmp_path_factory):
     q = (out.writeStream.format("memory").queryName("sess_late_out")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(180)
-    got = [(r["session_start"], r["session_end"], r["n_events"])
-           for r in spark.sql(
-               "select * from sess_late_out where user_id = 1").collect()]
-    assert got == [(m(5), m(20), 3)]
+    got = {u: sorted((r["session_start"], r["session_end"], r["n_events"])
+                     for r in spark.sql(
+                         f"select * from sess_late_out where user_id = {u}"
+                     ).collect())
+           for u in (1, 2)}
+    assert got[1] == [(m(5), m(20), 3)]
+    assert got[2] == [(m(40), m(40), 1), (m(100), m(110), 2)]
 
 
 def test_screen_stream_matches_batch(spark, tmp_path_factory):
