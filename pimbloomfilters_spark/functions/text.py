@@ -470,3 +470,42 @@ def quality_filter_panel(docs: DataFrame, token_df: DataFrame,
     keep = (F.col("r_wordcount") & F.col("r_wordlen") & F.col("r_stopwords")
             & F.col("r_alnum") & F.col("r_repetition"))
     return out.withColumn("keep", keep)
+
+
+def bigram_lm_scores(tok_exploded: DataFrame,
+                     doc_col: str = "doc_id", pos_col: str = "pos",
+                     token_col: str = "token_id") -> DataFrame:
+    """(doc_id, pos, logp): add-one-smoothed bigram language-model log
+    probability ln((C(prev,cur)+1) / (C(prev)+V)) for every token at
+    pos >= 2 — the perplexity-filtering primitive (CCNet-style: score a
+    doc by the mean of its token log-probs; gibberish and boilerplate
+    score far from the corpus LM). The model IS the corpus (self-scoring);
+    to score against a held-out LM, compute the count tables on the
+    reference corpus and join them here instead.
+
+    Every input to the formula is an exact relational count and the logp
+    is ONE fixed-shape float tree, so rows are bit-identical cross-engine
+    (the tfidf/pmi rule); doc-level aggregation (mean logp / perplexity)
+    is left to callers because float-sum order is engine-specific.
+
+    Plan: one per-doc lag window to form (prev, cur) pairs, then two
+    joins against the (vocab^2- and vocab-sized, broadcast) count tables —
+    the corpus shuffles once on the doc key, counts ride as broadcasts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(doc_col).orderBy(pos_col)
+    pairs = (
+        tok_exploded.select(doc_col, pos_col, F.col(token_col).alias("_cur"))
+        .withColumn("_prev", F.lag("_cur").over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    big = pairs.groupBy("_prev", "_cur").agg(F.count("*").alias("_cab"))
+    uni = (tok_exploded.groupBy(F.col(token_col).alias("_prev"))
+           .agg(F.count("*").alias("_ca")))
+    vocab = tok_exploded.select(token_col).distinct().count()
+    logp = F.log((F.col("_cab") + 1) / (F.col("_ca") + F.lit(vocab)))
+    return (
+        pairs.join(F.broadcast(big), ["_prev", "_cur"])
+        .join(F.broadcast(uni), "_prev")
+        .select(doc_col, pos_col, logp.alias("logp"))
+    )

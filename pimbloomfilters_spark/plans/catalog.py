@@ -491,6 +491,35 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def q_lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-position bigram-LM log-probs — exact counts + one fixed-shape
+    float tree (the tfidf/pmi bit-exact-double rule)."""
+    from ..functions.text import bigram_lm_scores
+
+    out = bigram_lm_scores(tokens_exploded(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "pos", "logp")
+
+
+_ORACLE_LM = TOKENS_ORACLE_CTE + """,
+pairs AS (
+  SELECT doc_id, pos, token_id AS cur,
+         lag(token_id) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+),
+pp AS (SELECT * FROM pairs WHERE prev IS NOT NULL),
+big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cab
+        FROM pp GROUP BY 1, 2),
+uni AS (SELECT token_id AS prev, CAST(count(*) AS BIGINT) AS ca
+        FROM tok GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT token_id) AS BIGINT) AS vocab FROM tok)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.pos,
+       ln((b.cab + 1) / (u.ca + v.vocab)) AS logp
+FROM pp p JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+JOIN uni u ON u.prev = p.prev CROSS JOIN v
+"""
+
+
 def q_quality_filter_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style keep/drop panel — all rules integer-exact."""
     from ..functions.text import quality_filter_panel
@@ -1512,6 +1541,11 @@ CATALOG: dict[str, QuerySpec] = {
         "one-scan ANALYZE-style table profile: exact row/null counts, "
         "HLL ndv within bound per column",
     ),
+    "lm_bigram_logprob": QuerySpec(
+        q_lm_bigram_logprob, _ORACLE_LM,
+        "add-one bigram LM log-prob per token position (perplexity-filter "
+        "primitive), doubles bit-exact cross-engine",
+    ),
     "dna_kmer_stats": QuerySpec(
         q_dna_kmer_stats, _ORACLE_KMER_STATS,
         "distinct 2-bit-packed k-mers per synthetic genome, exact",
@@ -1791,7 +1825,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 4 (registered below if present)
     "dedup_exact_hash", "embedding_source_stats", "mash_distance",
     "token_ngram_decontaminate", "source_token_kl", "quality_filter_panel",
-    "profile_table", "asof_purchase_view_salted",
+    "profile_table", "asof_purchase_view_salted", "lm_bigram_logprob",
     # green in round 2 only — fell out of the round-3 window
     "cosine_topk", "ann_lsh_topk", "ivf_topk", "multimodal_decode_stats",
     "multimodal_ppm_decode", "pipeline_end_to_end", "near_dup_clusters",

@@ -896,3 +896,27 @@ def test_quality_filter_panel_rules(spark):
     assert not got[5]["r_alnum"] and not got[5]["keep"]
     assert not got[6]["r_repetition"] and not got[6]["keep"]
     assert got[2]["r_repetition"]  # doc 2 absent from tokens -> vacuous pass
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-one bigram LM log-probs match a hand computation on a tiny
+    corpus; repeated contexts score higher than novel ones."""
+    import math
+
+    from pimbloomfilters_spark.functions.text import bigram_lm_scores
+
+    # docs: [1,2,3] and [1,2,2] -> bigrams: (1,2)x2, (2,3), (2,2)
+    tok = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 3, 3),
+         ("b", 1, 1), ("b", 2, 2), ("b", 3, 2)],
+        "doc_id string, pos int, token_id int")
+    got = {(r["doc_id"], r["pos"]): r["logp"]
+           for r in bigram_lm_scores(tok).collect()}
+    V = 3
+    c1, c2 = 2, 3  # occurrences of tokens 1 and 2
+    assert abs(got[("a", 2)] - math.log((2 + 1) / (c1 + V))) < 1e-15
+    assert abs(got[("a", 3)] - math.log((1 + 1) / (c2 + V))) < 1e-15
+    assert abs(got[("b", 3)] - math.log((1 + 1) / (c2 + V))) < 1e-15
+    assert got[("a", 2)] == got[("b", 2)]  # same bigram, same score
+    assert got[("a", 2)] > got[("a", 3)]   # frequent bigram scores higher
+    assert len(got) == 4
