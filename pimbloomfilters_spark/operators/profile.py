@@ -24,15 +24,23 @@ from ..sketches import make_sketch, sketch_from_bytes
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None,
-                  hll_p: int = 14) -> DataFrame:
+                  hll_p: int = 14, with_sketch: bool = False) -> DataFrame:
     """One row per profiled column: (column, n_rows, n_nulls, ndv_est
-    double). ``columns`` defaults to every column. The result is a tiny
-    driver-assembled DataFrame (#columns rows); the scan underneath is the
-    one-pass partial fold described in the module docstring.
+    double[, sketch binary]). ``columns`` defaults to every column. The
+    result is a tiny driver-assembled DataFrame (#columns rows); the scan
+    underneath is the one-pass partial fold described in the module
+    docstring.
 
     ndv_est is the HLL estimate over xxhash64 of the column's non-null
     values — standard error ~1.04/sqrt(2^hll_p) (~0.8% at the default
-    p=14), the same bound the HLL gates verify."""
+    p=14), the same bound the HLL gates verify.
+
+    ``with_sketch=True`` additionally carries each column's merged HLL
+    payload, making profiles of table INCREMENTS first-class mergeable
+    state: profile each new partition/day with the same (hll_p, columns),
+    store the rows, and ``merge_profiles`` folds any subset into the exact
+    profile a single scan of the union would produce (counts add, HLLs
+    merge — deterministic, order-free)."""
     cols = columns or df.columns
     hashed = df.select(*[
         F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))).alias(c)
@@ -68,8 +76,52 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         slot[1] += r["n_nulls"]
         sk = sketch_from_bytes(bytes(r["sketch"]))
         slot[2] = sk if slot[2] is None else slot[2].merge(sk)
+    if with_sketch:
+        out = [(c, agg[c][0], agg[c][1],
+                float(agg[c][2].estimate()) if agg[c][2] is not None else 0.0,
+                bytearray(agg[c][2].to_bytes()) if agg[c][2] is not None
+                else bytearray())
+               for c in cols]
+        return df.sparkSession.createDataFrame(
+            out, "column string, n_rows long, n_nulls long, ndv_est double, "
+                 "sketch binary")
     out = [(c, agg[c][0], agg[c][1],
             float(agg[c][2].estimate()) if agg[c][2] is not None else 0.0)
            for c in cols]
     return df.sparkSession.createDataFrame(
         out, "column string, n_rows long, n_nulls long, ndv_est double")
+
+
+def merge_profiles(*profiles: DataFrame) -> DataFrame:
+    """Fold profiles built with ``with_sketch=True`` (same columns, same
+    hll_p) into the profile of the UNION of their inputs: counts add,
+    per-column HLLs merge — associative/commutative/deterministic, so
+    incremental per-day/per-partition profiles compose exactly like every
+    other sketch build. Returns the same (column, n_rows, n_nulls,
+    ndv_est, sketch) shape, so merged profiles merge again."""
+    if not profiles:
+        raise ValueError("merge_profiles needs at least one profile")
+    spark = profiles[0].sparkSession
+    agg: dict[str, list] = {}
+    order: list[str] = []
+    for p in profiles:
+        for r in p.collect():
+            c = r["column"]
+            if c not in agg:
+                agg[c] = [0, 0, None]
+                order.append(c)
+            slot = agg[c]
+            slot[0] += r["n_rows"]
+            slot[1] += r["n_nulls"]
+            raw = bytes(r["sketch"]) if r["sketch"] is not None else b""
+            if raw:
+                sk = sketch_from_bytes(raw)
+                slot[2] = sk if slot[2] is None else slot[2].merge(sk)
+    out = [(c, agg[c][0], agg[c][1],
+            float(agg[c][2].estimate()) if agg[c][2] is not None else 0.0,
+            bytearray(agg[c][2].to_bytes()) if agg[c][2] is not None
+            else bytearray())
+           for c in order]
+    return spark.createDataFrame(
+        out, "column string, n_rows long, n_nulls long, ndv_est double, "
+             "sketch binary")

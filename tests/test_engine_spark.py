@@ -230,3 +230,30 @@ def test_profile_table_nulls_and_ndv(spark):
     for col, exact in (("id", n), ("mod_sparse", 100), ("s_half", 2500)):
         est = prof[col]["ndv_est"]
         assert abs(est - exact) <= 4 * rse * exact + 3, (col, est, exact)
+
+
+def test_merge_profiles_equals_full_scan(spark):
+    """Incremental profiling: merge(profile(half1), profile(half2)) ==
+    profile(full) EXACTLY (counts add; HLL merge is deterministic, so even
+    the estimates are bit-equal), and merged profiles merge again."""
+    from pyspark.sql import functions as F
+
+    from pimbloomfilters_spark.operators.profile import (
+        merge_profiles, profile_table)
+
+    df = spark.range(30_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 != 0, F.col("id") % 777).alias("v"))
+    full = {r["column"]: r for r in
+            profile_table(df, with_sketch=True).collect()}
+    h1 = profile_table(df.filter(F.col("id") < 11_000), with_sketch=True)
+    h2 = profile_table(df.filter(F.col("id") >= 11_000), with_sketch=True)
+    merged = {r["column"]: r for r in merge_profiles(h1, h2).collect()}
+    for c in ("id", "v"):
+        assert merged[c]["n_rows"] == full[c]["n_rows"] == 30_000
+        assert merged[c]["n_nulls"] == full[c]["n_nulls"]
+        assert merged[c]["ndv_est"] == full[c]["ndv_est"]  # bit-equal
+        assert bytes(merged[c]["sketch"]) == bytes(full[c]["sketch"])
+    again = {r["column"]: r for r in
+             merge_profiles(merge_profiles(h1), merge_profiles(h2)).collect()}
+    assert bytes(again["v"]["sketch"]) == bytes(full["v"]["sketch"])
