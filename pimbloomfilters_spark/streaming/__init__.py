@@ -1,6 +1,8 @@
 from .stream_build import (
     dedup_stream_query,
     screen_stream,
+    get_stream_profile,
+    profile_stream_query,
     stream_interval_join,
     get_stream_sketch,
     sharded_dedup_stream,
@@ -21,5 +23,7 @@ __all__ = [
     "windowed_quantiles_stream",
     "dedup_stream_query",
     "screen_stream",
+    "profile_stream_query",
+    "get_stream_profile",
     "stream_interval_join",
 ]

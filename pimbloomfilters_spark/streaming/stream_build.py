@@ -829,3 +829,124 @@ def stream_interval_join(left_stream: DataFrame, right_stream: DataFrame,
     return (l.join(r, cond)
             .select(F.col("_k").alias(on), F.col("_lts").alias("left_ts"),
                     F.col("_rts").alias("right_ts"), "left_row", "right_row"))
+
+
+# -- streaming table profiles -------------------------------------------------
+# The one-scan profiler's mergeable form (operators/profile.py
+# ``with_sketch=True``) applied to unbounded input: per micro-batch, profile
+# the batch and merge counts + per-column HLLs into a running profile — the
+# data-quality monitor of an ingest stream (null-rate spikes, cardinality
+# drift) with the same durable-snapshot/replay-skip recipe as
+# ``sketch_stream_query``.
+
+_PROFILES: dict[str, dict] = {}
+
+
+def get_stream_profile(name: str) -> dict | None:
+    """{column: {"n_rows", "n_nulls", "ndv_est"}} of the running profile."""
+    prof = _PROFILES.get(name)
+    if prof is None:
+        return None
+    return {c: {"n_rows": v[0], "n_nulls": v[1],
+                "ndv_est": float(v[2].estimate()) if v[2] is not None else 0.0}
+            for c, v in prof.items()}
+
+
+def _profile_blob(prof: dict) -> bytes:
+    import struct
+
+    out = [struct.pack("<q", len(prof))]
+    for c, (n, nn, sk) in prof.items():
+        cb = c.encode()
+        pb = sk.to_bytes() if sk is not None else b""
+        out.append(struct.pack("<qqqq", len(cb), n, nn, len(pb)))
+        out.append(cb)
+        out.append(pb)
+    return b"".join(out)
+
+
+def _profile_from_blob(raw: bytes) -> dict:
+    import struct
+
+    (n_cols,) = struct.unpack_from("<q", raw, 0)
+    off, prof = 8, {}
+    for _ in range(n_cols):
+        lc, n, nn, lp = struct.unpack_from("<qqqq", raw, off)
+        off += 32
+        c = raw[off:off + lc].decode(); off += lc
+        sk = sketch_from_bytes(raw[off:off + lp]) if lp else None
+        off += lp
+        prof[c] = [n, nn, sk]
+    return prof
+
+
+def profile_stream_query(
+    stream_df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    columns: list[str] | None = None,
+    hll_p: int = 14,
+    trigger_available_now: bool = True,
+):
+    """Maintain a running mergeable table profile over a stream (readable
+    via ``get_stream_profile(name)``): every micro-batch is profiled with
+    the one-scan profiler and folded in — counts add, HLLs merge, so the
+    running profile equals a batch ``profile_table`` over everything seen.
+    Snapshot-per-batch next to the checkpoint; a driver restart reloads the
+    newest snapshot and skips replayed batches (exactly-once)."""
+    d = _state_dir(checkpoint_dir)
+    _PROFILES.pop(name, None)
+    best, path = -1, None
+    try:
+        for f in os.listdir(d):
+            if f.startswith("profile_") and f.endswith(".bin"):
+                bid = int(f[8:-4])
+                if bid > best:
+                    best, path = bid, os.path.join(d, f)
+    except FileNotFoundError:
+        pass
+    _PERSISTED_BATCH[name] = best
+    if path is not None:
+        with open(path, "rb") as fh:
+            _PROFILES[name] = _profile_from_blob(fh.read())
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.profile import profile_table
+
+        if batch_id <= _PERSISTED_BATCH.get(name, -1):
+            return
+        if batch_df.isEmpty():
+            return
+        rows = profile_table(batch_df, columns=columns, hll_p=hll_p,
+                             with_sketch=True).collect()
+        prof = _PROFILES.setdefault(name, {})
+        for r in rows:
+            slot = prof.setdefault(r["column"], [0, 0, None])
+            slot[0] += r["n_rows"]
+            slot[1] += r["n_nulls"]
+            raw = bytes(r["sketch"]) if r["sketch"] is not None else b""
+            if raw:
+                sk = sketch_from_bytes(raw)
+                slot[2] = sk if slot[2] is None else slot[2].merge(sk)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".profile_{batch_id}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(_profile_blob(prof))
+        os.replace(tmp, os.path.join(d, f"profile_{batch_id:012d}.bin"))
+        for f in sorted(x for x in os.listdir(d)
+                        if x.startswith("profile_") and x.endswith(".bin"))[:-2]:
+            try:
+                os.remove(os.path.join(d, f))
+            except OSError:
+                pass
+        _PERSISTED_BATCH[name] = batch_id
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_fold)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -624,3 +624,43 @@ def test_stream_interval_join_matches_batch(spark, tmp_path_factory):
               for (u, p, lt) in l_rows for (u2, v, rt) in r_rows
               if u == u2 and rt <= lt and rt > lt - dt.timedelta(minutes=15)}
     assert got == expect and expect
+
+
+def test_profile_stream_matches_batch_and_restarts(spark, tmp_path_factory):
+    """The running stream profile over all micro-batches equals the batch
+    profile of everything (bit-equal ndv: HLL merge is deterministic), and
+    a restarted query with no new data replays nothing and keeps it."""
+    from pyspark.sql import functions as F
+
+    from pimbloomfilters_spark.operators.profile import profile_table
+    from pimbloomfilters_spark.streaming import (
+        get_stream_profile, profile_stream_query)
+
+    data_dir = str(tmp_path_factory.mktemp("prof_in"))
+    ckpt = str(tmp_path_factory.mktemp("prof_ck"))
+    full = spark.range(6_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 != 0, F.col("id") % 250).alias("v"))
+    for lo in (0, 2000, 4000):
+        full.filter((F.col("id") >= lo) & (F.col("id") < lo + 2000)) \
+            .coalesce(1).write.mode("append").parquet(data_dir)
+
+    stream = (spark.readStream.schema("id long, v long")
+              .option("maxFilesPerTrigger", 1).parquet(data_dir))
+    q = profile_stream_query(stream, "prof_q", ckpt)
+    q.awaitTermination(120)
+    got = get_stream_profile("prof_q")
+    expect = {r["column"]: r for r in profile_table(full).collect()}
+    for c in ("id", "v"):
+        assert got[c]["n_rows"] == expect[c]["n_rows"] == 6_000
+        assert got[c]["n_nulls"] == expect[c]["n_nulls"]
+        assert got[c]["ndv_est"] == expect[c]["ndv_est"]  # bit-equal
+
+    # restart: same checkpoint, no new files -> snapshot reloads, nothing
+    # re-merges, profile unchanged
+    stream2 = (spark.readStream.schema("id long, v long")
+               .option("maxFilesPerTrigger", 1).parquet(data_dir))
+    q2 = profile_stream_query(stream2, "prof_q", ckpt)
+    q2.awaitTermination(120)
+    got2 = get_stream_profile("prof_q")
+    assert got2 == got
