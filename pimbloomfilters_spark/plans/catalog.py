@@ -491,6 +491,54 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard — the one-table summary a dataset
+    owner reads: docs, Gopher-panel keep count, exact-duplicate docs,
+    token volume, distinct vocabulary. Pure composition of audited
+    operators; every number an exact integer."""
+    from ..functions.text import quality_filter_panel
+
+    docs = load_table(spark, sf_dir, "documents")
+    tt = token_table(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    panel = quality_filter_panel(docs, tt).select("doc_id", "keep")
+    per_doc = docs.select("doc_id", "source", "text").join(panel, "doc_id")
+    base = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_keep"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dup_docs"),
+    )
+    tok = tokens_exploded(spark, sf_dir)
+    tstats = tok.groupBy("source").agg(
+        F.count("*").alias("total_tok"),
+        F.countDistinct("token_id").alias("distinct_tokens"),
+    )
+    return (base.join(tstats, "source")
+            .select("source", "n_docs", "n_keep", "n_dup_docs",
+                    "total_tok", "distinct_tokens"))
+
+
+def _curation_oracle() -> str:
+    panel = _quality_panel_oracle()
+    # reuse the panel query verbatim as a CTE: strip its leading WITH and
+    # wrap the rest
+    assert panel.lstrip().startswith("WITH")
+    inner = panel.lstrip()[len("WITH"):]
+    head, select = inner.split("SELECT q.doc_id,", 1)
+    return ("WITH" + head
+            + ", panel AS (SELECT q.doc_id," + select + ")" + """
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(count(*) - count(DISTINCT d.text) AS BIGINT) AS n_dup_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM tok t
+        WHERE t.source = d.source) AS total_tok,
+       (SELECT CAST(count(DISTINCT t.token_id) AS BIGINT) FROM tok t
+        WHERE t.source = d.source) AS distinct_tokens
+FROM documents d JOIN panel p ON p.doc_id = d.doc_id
+GROUP BY d.source
+""")
+
+
 def q_lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-position bigram-LM log-probs — exact counts + one fixed-shape
     float tree (the tfidf/pmi bit-exact-double rule)."""
@@ -1546,6 +1594,11 @@ CATALOG: dict[str, QuerySpec] = {
         "add-one bigram LM log-prob per token position (perplexity-filter "
         "primitive), doubles bit-exact cross-engine",
     ),
+    "curation_report": QuerySpec(
+        q_curation_report, _curation_oracle(),
+        "per-source curation dashboard: panel keep counts, exact-dup "
+        "docs, token volume/vocabulary — all exact integers",
+    ),
     "dna_kmer_stats": QuerySpec(
         q_dna_kmer_stats, _ORACLE_KMER_STATS,
         "distinct 2-bit-packed k-mers per synthetic genome, exact",
@@ -1826,6 +1879,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_exact_hash", "embedding_source_stats", "mash_distance",
     "token_ngram_decontaminate", "source_token_kl", "quality_filter_panel",
     "profile_table", "asof_purchase_view_salted", "lm_bigram_logprob",
+    "curation_report",
     # green in round 2 only — fell out of the round-3 window
     "cosine_topk", "ann_lsh_topk", "ivf_topk", "multimodal_decode_stats",
     "multimodal_ppm_decode", "pipeline_end_to_end", "near_dup_clusters",
