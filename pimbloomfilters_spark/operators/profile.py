@@ -22,25 +22,28 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..sketches import make_sketch, sketch_from_bytes
 
+# The driver-side accumulator shared by every profile path (single-scan
+# build, profile merge, streaming fold): {column: [n_rows, n_nulls,
+# Sketch|None]}. One fold and one output-shaping helper keep the
+# "merge == full scan, bit-equal" invariant in exactly one place.
 
-def profile_table(df: DataFrame, columns: list[str] | None = None,
-                  hll_p: int = 14, with_sketch: bool = False) -> DataFrame:
-    """One row per profiled column: (column, n_rows, n_nulls, ndv_est
-    double[, sketch binary]). ``columns`` defaults to every column. The
-    result is a tiny driver-assembled DataFrame (#columns rows); the scan
-    underneath is the one-pass partial fold described in the module
-    docstring.
 
-    ndv_est is the HLL estimate over xxhash64 of the column's non-null
-    values — standard error ~1.04/sqrt(2^hll_p) (~0.8% at the default
-    p=14), the same bound the HLL gates verify.
+def fold_profile_row(agg: dict, column: str, n_rows: int, n_nulls: int,
+                     raw_sketch: bytes) -> None:
+    """Fold one (column, counts, serialized-HLL) record into ``agg``."""
+    slot = agg.setdefault(column, [0, 0, None])
+    slot[0] += int(n_rows)
+    slot[1] += int(n_nulls)
+    if raw_sketch:
+        sk = sketch_from_bytes(raw_sketch)
+        slot[2] = sk if slot[2] is None else slot[2].merge(sk)
 
-    ``with_sketch=True`` additionally carries each column's merged HLL
-    payload, making profiles of table INCREMENTS first-class mergeable
-    state: profile each new partition/day with the same (hll_p, columns),
-    store the rows, and ``merge_profiles`` folds any subset into the exact
-    profile a single scan of the union would produce (counts add, HLLs
-    merge — deterministic, order-free)."""
+
+def profile_agg(df: DataFrame, columns: list[str] | None = None,
+                hll_p: int = 14) -> dict:
+    """The one-scan partial build, returned as the driver accumulator dict
+    (the streaming fold consumes this directly — no DataFrame round
+    trip)."""
     cols = columns or df.columns
     hashed = df.select(*[
         F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))).alias(c)
@@ -69,27 +72,52 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     rows = hashed.mapInArrow(
         _partials, "column string, n_rows long, n_nulls long, sketch binary"
     ).collect()
-    agg: dict[str, list] = {c: [0, 0, None] for c in cols}
+    agg: dict = {c: [0, 0, None] for c in cols}
     for r in rows:
-        slot = agg[r["column"]]
-        slot[0] += r["n_rows"]
-        slot[1] += r["n_nulls"]
-        sk = sketch_from_bytes(bytes(r["sketch"]))
-        slot[2] = sk if slot[2] is None else slot[2].merge(sk)
-    if with_sketch:
-        out = [(c, agg[c][0], agg[c][1],
-                float(agg[c][2].estimate()) if agg[c][2] is not None else 0.0,
-                bytearray(agg[c][2].to_bytes()) if agg[c][2] is not None
-                else bytearray())
-               for c in cols]
-        return df.sparkSession.createDataFrame(
-            out, "column string, n_rows long, n_nulls long, ndv_est double, "
-                 "sketch binary")
-    out = [(c, agg[c][0], agg[c][1],
-            float(agg[c][2].estimate()) if agg[c][2] is not None else 0.0)
-           for c in cols]
+        fold_profile_row(agg, r["column"], r["n_rows"], r["n_nulls"],
+                         bytes(r["sketch"]))
+    return agg
+
+
+def _agg_to_rows(agg: dict, with_sketch: bool) -> list[tuple]:
+    out = []
+    for c, (n, nn, sk) in agg.items():
+        est = float(sk.estimate()) if sk is not None else 0.0
+        if with_sketch:
+            out.append((c, n, nn, est,
+                        bytearray(sk.to_bytes()) if sk is not None
+                        else bytearray()))
+        else:
+            out.append((c, n, nn, est))
+    return out
+
+
+_PROFILE_SCHEMA = "column string, n_rows long, n_nulls long, ndv_est double"
+_PROFILE_SCHEMA_SK = _PROFILE_SCHEMA + ", sketch binary"
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  hll_p: int = 14, with_sketch: bool = False) -> DataFrame:
+    """One row per profiled column: (column, n_rows, n_nulls, ndv_est
+    double[, sketch binary]). ``columns`` defaults to every column. The
+    result is a tiny driver-assembled DataFrame (#columns rows); the scan
+    underneath is the one-pass partial fold described in the module
+    docstring.
+
+    ndv_est is the HLL estimate over xxhash64 of the column's non-null
+    values — standard error ~1.04/sqrt(2^hll_p) (~0.8% at the default
+    p=14), the same bound the HLL gates verify.
+
+    ``with_sketch=True`` additionally carries each column's merged HLL
+    payload, making profiles of table INCREMENTS first-class mergeable
+    state: profile each new partition/day with the same (hll_p, columns),
+    store the rows, and ``merge_profiles`` folds any subset into the exact
+    profile a single scan of the union would produce (counts add, HLLs
+    merge — deterministic, order-free)."""
+    agg = profile_agg(df, columns, hll_p)
     return df.sparkSession.createDataFrame(
-        out, "column string, n_rows long, n_nulls long, ndv_est double")
+        _agg_to_rows(agg, with_sketch),
+        _PROFILE_SCHEMA_SK if with_sketch else _PROFILE_SCHEMA)
 
 
 def merge_profiles(*profiles: DataFrame) -> DataFrame:
@@ -102,26 +130,10 @@ def merge_profiles(*profiles: DataFrame) -> DataFrame:
     if not profiles:
         raise ValueError("merge_profiles needs at least one profile")
     spark = profiles[0].sparkSession
-    agg: dict[str, list] = {}
-    order: list[str] = []
+    agg: dict = {}
     for p in profiles:
         for r in p.collect():
-            c = r["column"]
-            if c not in agg:
-                agg[c] = [0, 0, None]
-                order.append(c)
-            slot = agg[c]
-            slot[0] += r["n_rows"]
-            slot[1] += r["n_nulls"]
-            raw = bytes(r["sketch"]) if r["sketch"] is not None else b""
-            if raw:
-                sk = sketch_from_bytes(raw)
-                slot[2] = sk if slot[2] is None else slot[2].merge(sk)
-    out = [(c, agg[c][0], agg[c][1],
-            float(agg[c][2].estimate()) if agg[c][2] is not None else 0.0,
-            bytearray(agg[c][2].to_bytes()) if agg[c][2] is not None
-            else bytearray())
-           for c in order]
-    return spark.createDataFrame(
-        out, "column string, n_rows long, n_nulls long, ndv_est double, "
-             "sketch binary")
+            fold_profile_row(
+                agg, r["column"], r["n_rows"], r["n_nulls"],
+                bytes(r["sketch"]) if r["sketch"] is not None else b"")
+    return spark.createDataFrame(_agg_to_rows(agg, True), _PROFILE_SCHEMA_SK)

@@ -513,27 +513,27 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_tok"),
         F.countDistinct("token_id").alias("distinct_tokens"),
     )
-    return (base.join(tstats, "source")
+    # LEFT join: a source whose docs yield no tokens (all-null/empty text)
+    # must still report with zero token stats, matching the oracle's
+    # correlated-subquery semantics
+    return (base.join(tstats, "source", "left")
             .select("source", "n_docs", "n_keep", "n_dup_docs",
-                    "total_tok", "distinct_tokens"))
+                    F.coalesce("total_tok", F.lit(0)).alias("total_tok"),
+                    F.coalesce("distinct_tokens", F.lit(0))
+                     .alias("distinct_tokens")))
 
 
 def _curation_oracle() -> str:
-    panel = _quality_panel_oracle()
-    # reuse the panel query verbatim as a CTE: strip its leading WITH and
-    # wrap the rest
-    assert panel.lstrip().startswith("WITH")
-    inner = panel.lstrip()[len("WITH"):]
-    head, select = inner.split("SELECT q.doc_id,", 1)
-    return ("WITH" + head
-            + ", panel AS (SELECT q.doc_id," + select + ")" + """
+    # composes the SAME CTE chain and panel body the panel gate uses —
+    # no string surgery, so a panel-oracle edit can never break this one
+    return (_panel_ctes() + ",\npanel AS (" + _PANEL_BODY + ")" + """
 SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN p.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        CAST(count(*) - count(DISTINCT d.text) AS BIGINT) AS n_dup_docs,
-       (SELECT CAST(count(*) AS BIGINT) FROM tok t
-        WHERE t.source = d.source) AS total_tok,
-       (SELECT CAST(count(DISTINCT t.token_id) AS BIGINT) FROM tok t
-        WHERE t.source = d.source) AS distinct_tokens
+       coalesce((SELECT CAST(count(*) AS BIGINT) FROM tok t
+        WHERE t.source = d.source), 0) AS total_tok,
+       coalesce((SELECT CAST(count(DISTINCT t.token_id) AS BIGINT) FROM tok t
+        WHERE t.source = d.source), 0) AS distinct_tokens
 FROM documents d JOIN panel p ON p.doc_id = d.doc_id
 GROUP BY d.source
 """)
@@ -578,7 +578,11 @@ def q_quality_filter_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter_panel(docs, tt)
 
 
-def _quality_panel_oracle() -> str:
+# Panel oracle, split into composable pieces so both the panel gate and
+# the curation report share the identical SQL (no string surgery): the
+# CTE chain (token derivation + bigram repetition + quality counts) and
+# the per-doc SELECT body.
+def _panel_ctes() -> str:
     from ..functions.text import STOPWORDS, TOKEN_RE
 
     stop_sql = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
@@ -593,8 +597,10 @@ qc AS (
          len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_alnum,
          len(list_filter(string_split(text, ' '),
              w -> list_contains({stop_sql}, w))) AS n_stop
-  FROM documents)
-SELECT q.doc_id,
+  FROM documents)"""
+
+
+_PANEL_BODY = """SELECT q.doc_id,
   (q.n_words BETWEEN 20 AND 100000) AS r_wordcount,
   (3 * q.n_words <= q.n_chars - (q.n_words - 1)
    AND q.n_chars - (q.n_words - 1) <= 10 * q.n_words) AS r_wordlen,
@@ -609,8 +615,11 @@ SELECT q.doc_id,
    AND (100 * q.n_alnum >= 80 * q.n_words)
    AND coalesce(100 * (r.n_bigrams - r.n_distinct) <= 20 * r.n_bigrams, TRUE))
       AS keep
-FROM qc q LEFT JOIN rep r ON r.doc_id = q.doc_id
-"""
+FROM qc q LEFT JOIN rep r ON r.doc_id = q.doc_id"""
+
+
+def _quality_panel_oracle() -> str:
+    return _panel_ctes() + "\n" + _PANEL_BODY + "\n"
 
 
 def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:

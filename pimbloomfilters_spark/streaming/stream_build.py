@@ -840,16 +840,26 @@ def stream_interval_join(left_stream: DataFrame, right_stream: DataFrame,
 # ``sketch_stream_query``.
 
 _PROFILES: dict[str, dict] = {}
+# foreachBatch runs on a streaming thread while get_stream_profile is
+# polled from the driver thread (the live-monitoring mode): guard every
+# read/mutation of _PROFILES so a poll never sees a half-applied batch
+# (n_rows updated, n_nulls not) or a dict mutated mid-iteration
+import threading as _threading
+
+_PROFILE_LOCK = _threading.Lock()
 
 
 def get_stream_profile(name: str) -> dict | None:
-    """{column: {"n_rows", "n_nulls", "ndv_est"}} of the running profile."""
-    prof = _PROFILES.get(name)
-    if prof is None:
-        return None
-    return {c: {"n_rows": v[0], "n_nulls": v[1],
-                "ndv_est": float(v[2].estimate()) if v[2] is not None else 0.0}
-            for c, v in prof.items()}
+    """{column: {"n_rows", "n_nulls", "ndv_est"}} of the running profile —
+    a consistent snapshot (never reflects a partially-folded batch)."""
+    with _PROFILE_LOCK:
+        prof = _PROFILES.get(name)
+        if prof is None:
+            return None
+        return {c: {"n_rows": v[0], "n_nulls": v[1],
+                    "ndv_est": float(v[2].estimate()) if v[2] is not None
+                    else 0.0}
+                for c, v in prof.items()}
 
 
 def _profile_blob(prof: dict) -> bytes:
@@ -895,7 +905,8 @@ def profile_stream_query(
     Snapshot-per-batch next to the checkpoint; a driver restart reloads the
     newest snapshot and skips replayed batches (exactly-once)."""
     d = _state_dir(checkpoint_dir)
-    _PROFILES.pop(name, None)
+    with _PROFILE_LOCK:
+        _PROFILES.pop(name, None)
     best, path = -1, None
     try:
         for f in os.listdir(d):
@@ -908,30 +919,34 @@ def profile_stream_query(
     _PERSISTED_BATCH[name] = best
     if path is not None:
         with open(path, "rb") as fh:
-            _PROFILES[name] = _profile_from_blob(fh.read())
+            loaded = _profile_from_blob(fh.read())
+        with _PROFILE_LOCK:
+            _PROFILES[name] = loaded
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.profile import profile_table
+        # profile_agg returns the driver accumulator dict directly — no
+        # DataFrame round trip, no extra sketch (de)serialization on the
+        # per-batch hot path
+        from ..operators.profile import profile_agg
 
         if batch_id <= _PERSISTED_BATCH.get(name, -1):
             return
         if batch_df.isEmpty():
             return
-        rows = profile_table(batch_df, columns=columns, hll_p=hll_p,
-                             with_sketch=True).collect()
-        prof = _PROFILES.setdefault(name, {})
-        for r in rows:
-            slot = prof.setdefault(r["column"], [0, 0, None])
-            slot[0] += r["n_rows"]
-            slot[1] += r["n_nulls"]
-            raw = bytes(r["sketch"]) if r["sketch"] is not None else b""
-            if raw:
-                sk = sketch_from_bytes(raw)
-                slot[2] = sk if slot[2] is None else slot[2].merge(sk)
+        batch_agg = profile_agg(batch_df, columns=columns, hll_p=hll_p)
+        with _PROFILE_LOCK:
+            prof = _PROFILES.setdefault(name, {})
+            for c, (n, nn, sk) in batch_agg.items():
+                slot = prof.setdefault(c, [0, 0, None])
+                slot[0] += n
+                slot[1] += nn
+                if sk is not None:
+                    slot[2] = sk if slot[2] is None else slot[2].merge(sk)
+            blob = _profile_blob(prof)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".profile_{batch_id}.tmp")
         with open(tmp, "wb") as fh:
-            fh.write(_profile_blob(prof))
+            fh.write(blob)
         os.replace(tmp, os.path.join(d, f"profile_{batch_id:012d}.bin"))
         for f in sorted(x for x in os.listdir(d)
                         if x.startswith("profile_") and x.endswith(".bin"))[:-2]:
