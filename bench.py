@@ -100,6 +100,12 @@ def run_bench() -> dict:
 
     sf = _sf_of(SF_DIR)
     calib_pre = _calibration()  # box bandwidth constant, measured pre-run
+    # aggregate (8-proc) ceiling: the 1-proc constant can't see multi-core
+    # bus contention, which made same-code windows disagree 2x on the
+    # parallel token-build metrics (round-4 verdict #4). 8 procs sits at the
+    # box's saturation knee (see _numpy_ceiling), so parallel metrics are
+    # normalized by THIS constant, serial ones by the 1-proc constant.
+    calib_agg_pre = _numpy_ceiling((8,))[8]
     spark = get_spark("pbf-bench", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
     sc = spark.sparkContext
     timings: dict[str, float] = {}
@@ -233,7 +239,9 @@ def run_bench() -> dict:
     unpersist_tokens(spark)
     spark.stop()
     calib_post = _calibration()
+    calib_agg_post = _numpy_ceiling((8,))[8]
     calib = max(calib_pre, calib_post)  # best observed = truest hardware constant
+    calib_agg = max(calib_agg_pre, calib_agg_post)
     return {
         "metric": "bloom insert+lookup wall (10M seq keys, size2=%d, k=8) + "
                   "sketch builds + catalog queries" % SIZE2,
@@ -244,21 +252,72 @@ def run_bench() -> dict:
         "cpus": CPUS,
         "n_bench_tokens": int(n_tokens),
         "throughput": {k: round(v, 2) for k, v in throughput.items()},
-        # calibration: the box's single-process numpy insert ceiling (M keys/s)
-        # measured before and after this run. normalized = engine throughput /
-        # ceiling — compare THESE across rounds; raw numbers inherit the
-        # sandbox's 2-3x multi-tenant swings (see BENCH.md "Calibration rule")
+        # calibration: the box's numpy insert-math ceiling (M keys/s), 1-proc
+        # and 8-proc (the bus-saturation knee), measured before and after this
+        # run. normalized = engine throughput / 1-proc ceiling (cross-round
+        # continuity); normalized_agg8 = / 8-proc ceiling — the right constant
+        # for the PARALLEL metrics, since 32 concurrent tasks contend for the
+        # same bus the 8-proc measurement saturates. Compare normalized values
+        # across rounds; raw numbers inherit the sandbox's 2-3x swings.
         "calibration": {
             "numpy_1proc_Mkeys_s_pre": calib_pre,
             "numpy_1proc_Mkeys_s_post": calib_post,
+            "numpy_8proc_Mkeys_s_pre": calib_agg_pre,
+            "numpy_8proc_Mkeys_s_post": calib_agg_post,
         },
         "throughput_normalized": {
             k: round(v / calib, 3) for k, v in throughput.items()
+        },
+        "throughput_normalized_agg8": {
+            k: round(v / calib_agg, 3) for k, v in throughput.items()
         },
         "fpr": fpr,
         "fpr_sweep": fpr_sweep,
         "error_sweep": err_sweep,
     }
+
+
+def compact_result(result: dict) -> dict:
+    """The driver records only a 2000-byte TAIL of bench stdout — four rounds
+    of BENCH_r{N}.json came back `"parsed": null` because the full result line
+    (a 74-entry per-query timing map) is ~4 KB. The final stdout line must be
+    the COMPACT record below (target <=800 bytes); the full record goes to
+    BENCH_FULL.json + a `BENCH_FULL ` stderr line (run_scaling parses that)."""
+    short = {"insert_Mkeys_per_s": "insert", "lookup_Mkeys_per_s": "lookup",
+             "tokens_bloom_Mtok_per_s": "tok_bloom",
+             "tokens_hll_Mtok_per_s": "tok_hll",
+             "tokens_cms_Mtok_per_s": "tok_cms"}
+
+    def _s(d):
+        return {short.get(k, k): v for k, v in d.items()}
+
+    cal = result["calibration"]
+    c = {
+        "metric": "bloom insert/lookup Mkeys_s + token-build Mtok_s, "
+                  "%d-query catalog total; detail in BENCH_FULL.json" % sum(
+                      1 for k in result["queries"]
+                      if not k.startswith(("bloom_", "tokens_", "ntok_"))),
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "cpus": result["cpus"],
+        "throughput": _s(result["throughput"]),
+        # norm_1p = /1-proc numpy ceiling, norm_8p = /8-proc (bus-saturated)
+        "norm_1p": _s(result["throughput_normalized"]),
+        "norm_8p": _s(result["throughput_normalized_agg8"]),
+        "calibration": {"np1_pre": cal["numpy_1proc_Mkeys_s_pre"],
+                        "np1_post": cal["numpy_1proc_Mkeys_s_post"],
+                        "np8_pre": cal["numpy_8proc_Mkeys_s_pre"],
+                        "np8_post": cal["numpy_8proc_Mkeys_s_post"]},
+        "fpr": {"measured": result["fpr"]["measured"],
+                "bound": result["fpr"]["theoretical_blocked_bound"],
+                "size2": result["fpr"]["size2"], "k": result["fpr"]["k"],
+                "n": result["fpr"]["n"]},
+    }
+    if len(json.dumps(c)) > 1900:  # hard driver limit is 2000; never exceed it
+        c.pop("norm_8p")
+        c["metric"] = "bloom+sketch+catalog bench; see BENCH_FULL.json"
+    return c
 
 
 def _numpy_ceiling(procs_list=(1, 8, 32)) -> dict:
@@ -320,8 +379,11 @@ def run_scaling() -> None:
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
             )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
+            # the full record (incl. the per-query map) travels on stderr —
+            # stdout carries only the compact driver line (see compact_result)
+            line = [l for l in out.stderr.splitlines()
+                    if l.startswith("BENCH_FULL ")][-1]
+            r = json.loads(line[len("BENCH_FULL "):])
             prev = results.get(cpus)
             if prev is None:
                 results[cpus] = r
@@ -406,4 +468,9 @@ if __name__ == "__main__":
             sys.stdout.flush()
             os.dup2(saved, 1)
             os.close(saved)
-        print(json.dumps(result), flush=True)
+        full = json.dumps(result)
+        with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as f:
+            f.write(full + "\n")
+        print("BENCH_FULL " + full, file=sys.stderr, flush=True)
+        # FINAL stdout line = compact record only (driver keeps a 2000-byte tail)
+        print(json.dumps(compact_result(result)), flush=True)

@@ -385,11 +385,17 @@ def bm25_rank(tok_exploded: DataFrame, query_tokens: list, k1: float = 1.2,
     for i in range(len(q)):
         c = F.coalesce(F.col(f"_p{i}"), F.lit(0.0))
         score = c if score is None else score + c
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # fixed top: orderBy().limit(top) compiles to TakeOrderedAndProject
+    # (per-partition top-k + tiny driver merge). A global Window.orderBy
+    # here would move EVERY candidate row to one task — for a query with
+    # one common token, candidates ~ corpus. The rank window then runs
+    # over exactly `top` survivors; (score desc, doc_id asc) is a total
+    # order, so limit(top) == rank<=top exactly.
+    order = [F.desc("score"), F.asc("doc_id")]
+    topk = pivoted.withColumn("score", score).orderBy(*order).limit(top)
+    w = Window.orderBy(*order)
     return (
-        pivoted.withColumn("score", score)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("doc_id", F.col("rank").cast("int").alias("rank"))
     )
 

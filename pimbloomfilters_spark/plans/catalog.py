@@ -1210,10 +1210,16 @@ def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pmi", F.log(F.col("c_ab").cast("double") * F.lit(float(n))
                                  / (F.col("c_a") * F.col("c_b"))))
     )
-    w = Window.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+    # fixed k=20: orderBy().limit() -> TakeOrderedAndProject, never a
+    # single-task global sort over the scored bigram-type table (bounded by
+    # bigram vocabulary, which at a real 100k-token vocab is ~10^9 rows);
+    # the rank window then sees exactly 20 rows. The order is total
+    # (pmi desc, tok_a, tok_b), so limit(20) == rank<=20 exactly.
+    order = [F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")]
+    topk = scored.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(F.col("tok_a").cast("int").alias("tok_a"),
                 F.col("tok_b").cast("int").alias("tok_b"),
                 "c_ab", F.col("rank").cast("int").alias("rank"))

@@ -32,12 +32,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(word, token_id) — deterministic dense ids, 1-based, ordered by word."""
+    """(word, token_id) — deterministic dense ids, 1-based, ordered by word.
+
+    Scale shape: dense ranking WITHOUT a single-task global window.
+    Range-partition the distinct words (partition p's words all sort before
+    partition p+1's), rank locally inside each partition, then add the
+    exclusive prefix sum of partition sizes (a numPartitions-row driver
+    aggregate). Output is identical to ``row_number() over (order by word)``
+    at any vocabulary size, but the sort work is spread over all partitions.
+    The explicit partition count keeps AQE from re-coalescing the exchange
+    between the size pass and the ranking pass, so partition ids agree."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("word")).distinct()
-    return words.withColumn(
-        "token_id", F.row_number().over(Window.orderBy("word")).cast("int")
-    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    parts = (words.repartitionByRange(n_parts, "word")
+             .withColumn("_pid", F.spark_partition_id()))
+    sizes = {r["_pid"]: r["cnt"] for r in
+             parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(*[x for pid in sorted(sizes)
+                         for x in (F.lit(pid), F.lit(offsets[pid]))])
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy("word"))
+    return parts.withColumn(
+        "token_id", (off[F.col("_pid")] + local).cast("int")).drop("_pid")
 
 
 # several catalog queries derive the same token table in one session; keep

@@ -400,3 +400,40 @@ def test_bucketed_tables_elide_join_and_agg_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_rank_tails_take_ordered_not_global_window(spark, sf_dir):
+    """Fixed-k ranking must compile to TakeOrderedAndProject (per-partition
+    top-k + tiny merge) feeding the rank window — never a global
+    Window.orderBy over the unbounded candidate table, which moves every
+    row to ONE task (for bm25 with a common query token, candidates ~
+    corpus). The window must sit ABOVE the TakeOrdered in the tree, i.e.
+    it only ever sees k rows."""
+    from pimbloomfilters_spark.functions.text import bm25_rank
+    from pimbloomfilters_spark.plans.catalog import q_pmi_top_bigrams
+
+    tok = tokens_exploded(spark, sf_dir)
+    for df in (bm25_rank(tok, [3, 7, 11], top=5),
+               q_pmi_top_bigrams(spark, sf_dir)):
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        # parent prints before child: Window must appear above TakeOrdered
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_vocab_table_dense_ids_match_global_window(spark, sf_dir):
+    """The scalable range-partition + prefix-offset dense-id assignment must
+    equal row_number() over (order by word) exactly (the DuckDB oracle
+    contract), and its plan must not contain a partition-less window."""
+    from pyspark.sql.window import Window
+
+    from pimbloomfilters_spark.sources.tables import load_table, vocab_table
+
+    got = {(r["word"], r["token_id"]) for r in
+           vocab_table(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    ref = (docs.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+           .withColumn("token_id",
+                       F.row_number().over(Window.orderBy("word")).cast("int")))
+    assert got == {(r["word"], r["token_id"]) for r in ref.collect()}
+    assert len(got) > 0
