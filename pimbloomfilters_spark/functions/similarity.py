@@ -489,6 +489,12 @@ def embedding_group_stats(df: DataFrame, group_col: str = "label",
     panel (drifting centroid = distribution shift; mean_norm collapse =
     degenerate embeddings) and the input to per-source IVF seeding.
 
+    Group keys may be integral (int/long — the label column) or string
+    (the repo's ``source`` columns); other key types raise at plan time.
+    Rows with a NULL vector are dropped (they carry no signal for any
+    stat); ragged vectors (mixed widths within a batch) raise a clear
+    ValueError instead of silently mis-reshaping.
+
     100-TB shape: one pass of per-partition fp64 PARTIAL sums (numpy
     ``np.add.at`` group-scatter per Arrow batch — no per-row Python), then
     a groupBy over #partitions x #groups partial rows merges them. The
@@ -496,15 +502,36 @@ def embedding_group_stats(df: DataFrame, group_col: str = "label",
     rows. Same mergeable-partials algebra as the sketch builds
     (operators/build.py); float64 accumulation, so group order inside a
     partition is irrelevant at ~1e-12 relative."""
+    gtype = dict(df.dtypes)[group_col]
+    if gtype in ("tinyint", "smallint", "int", "bigint"):
+        g_out, g_np = "bigint", np.int64
+    elif gtype == "string":
+        g_out, g_np = "string", None
+    else:
+        raise ValueError(
+            f"embedding_group_stats: group column {group_col!r} has type "
+            f"{gtype}; only integral or string group keys are supported")
 
     def _partials(batches):
         for b in batches:
-            if b.num_rows == 0:
-                continue
-            g = np.asarray(b.column(0).to_numpy(zero_copy_only=False))
             vec = b.column(1)
             if isinstance(vec, pa.ChunkedArray):
                 vec = vec.combine_chunks()
+            if vec.null_count:
+                keep = vec.is_valid()
+                b = b.filter(keep)
+                vec = b.column(1)
+                if isinstance(vec, pa.ChunkedArray):
+                    vec = vec.combine_chunks()
+            if b.num_rows == 0:
+                continue
+            g = np.asarray(b.column(0).to_numpy(zero_copy_only=False))
+            lens = np.asarray(vec.value_lengths().to_numpy(
+                zero_copy_only=False))
+            if (lens != lens[0]).any():
+                raise ValueError(
+                    "embedding_group_stats requires fixed-width vectors; "
+                    f"saw widths {sorted(set(lens.tolist()))[:5]}")
             flat = np.asarray(vec.flatten().to_numpy(zero_copy_only=False),
                               dtype=np.float64)
             m = flat.reshape(len(g), -1)
@@ -514,14 +541,16 @@ def embedding_group_stats(df: DataFrame, group_col: str = "label",
             norm_sum = np.zeros(uniq.size)
             np.add.at(norm_sum, inv, np.linalg.norm(m, axis=1))
             cnt = np.bincount(inv, minlength=uniq.size)
+            g_arr = (pa.array(uniq.astype(g_np)) if g_np is not None
+                     else pa.array(uniq.tolist(), type=pa.string()))
             yield pa.RecordBatch.from_arrays(
-                [pa.array(uniq.astype(np.int64)),
+                [g_arr,
                  pa.array(list(sums), type=pa.list_(pa.float64())),
                  pa.array(norm_sum), pa.array(cnt.astype(np.int64))],
                 names=["_g", "_vsum", "_nsum", "_n"])
 
     partials = df.select(group_col, vec_col).mapInArrow(
-        _partials, "_g long, _vsum array<double>, _nsum double, _n long")
+        _partials, f"_g {g_out}, _vsum array<double>, _nsum double, _n long")
 
     def _merge(pdf):
         import pandas as pd
@@ -529,12 +558,15 @@ def embedding_group_stats(df: DataFrame, group_col: str = "label",
         vs = np.stack(pdf["_vsum"].to_numpy()).sum(axis=0)
         n = int(pdf["_n"].sum())
         centroid = vs / n
+        key = pdf["_g"].iloc[0]
         return pd.DataFrame({
-            group_col: [int(pdf["_g"].iloc[0])], "n_vectors": [n],
+            group_col: [str(key) if g_np is None else int(key)],
+            "n_vectors": [n],
             "centroid": [centroid.tolist()],
             "centroid_norm": [float(np.linalg.norm(centroid))],
             "mean_norm": [float(pdf["_nsum"].sum() / n)]})
 
     return partials.groupBy("_g").applyInPandas(
-        _merge, f"{group_col} long, n_vectors long, centroid array<double>, "
-                "centroid_norm double, mean_norm double")
+        _merge, f"{group_col} {g_out}, n_vectors long, "
+                "centroid array<double>, centroid_norm double, "
+                "mean_norm double")

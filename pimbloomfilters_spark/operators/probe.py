@@ -181,15 +181,29 @@ def register_sql_functions(spark, sketch: Sketch,
     `SELECT * FROM t WHERE pbf_member(k)` scans with zero shuffle exactly
     like ``probe_key_column``. Returns the registered names. Registration
     is session-scoped and a second call with the same prefix rebinds to
-    the new sketch."""
+    the new sketch.
+
+    NULL keys follow SQL scalar-function semantics: ``pbf_member(NULL)``
+    and ``pbf_count(NULL)`` are NULL (a nullable key column arrives as
+    float64+NaN in the pandas batch; converting that straight to int64
+    would throw a task error instead)."""
     name = ship_sketch(spark, sketch)
     registered = []
+
+    def _masked(keys: pd.Series, fn, dtype):
+        valid = keys.notna()
+        out = pd.array([pd.NA] * len(keys), dtype=dtype)
+        if valid.any():
+            res = fn(keys[valid].to_numpy(dtype=np.int64))
+            out[np.flatnonzero(valid.to_numpy())] = np.asarray(res)
+        return pd.Series(out)
+
     if hasattr(sketch, "contains_bulk"):
 
         @pandas_udf("boolean")
         def _member(keys: pd.Series) -> pd.Series:
             sk = load_shipped_sketch(name)
-            return pd.Series(sk.contains_bulk(keys.to_numpy(dtype=np.int64)))
+            return _masked(keys, sk.contains_bulk, "boolean")
 
         spark.udf.register(f"{prefix}_member", _member)
         registered.append(f"{prefix}_member")
@@ -198,9 +212,9 @@ def register_sql_functions(spark, sketch: Sketch,
         @pandas_udf("long")
         def _count(keys: pd.Series) -> pd.Series:
             sk = load_shipped_sketch(name)
-            return pd.Series(
-                np.asarray(sk.query_bulk(keys.to_numpy(dtype=np.int64)),
-                           dtype=np.int64))
+            return _masked(
+                keys, lambda v: np.asarray(sk.query_bulk(v), dtype=np.int64),
+                "Int64")
 
         spark.udf.register(f"{prefix}_count", _count)
         registered.append(f"{prefix}_count")

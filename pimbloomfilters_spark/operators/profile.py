@@ -19,8 +19,22 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from ..sketches import make_sketch, sketch_from_bytes
+
+
+def _hashable(dt) -> bool:
+    """Spark's hash/xxhash64 rejects MapType anywhere in a type tree (maps
+    have no canonical element order); such columns get a counts-only
+    profile instead of failing the whole scan."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 # The driver-side accumulator shared by every profile path (single-scan
 # build, profile merge, streaming fold): {column: [n_rows, n_nulls,
@@ -45,13 +59,18 @@ def profile_agg(df: DataFrame, columns: list[str] | None = None,
     (the streaming fold consumes this directly — no DataFrame round
     trip)."""
     cols = columns or df.columns
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    unhashable = frozenset(c for c in cols if not _hashable(dtypes[c]))
     hashed = df.select(*[
-        F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))).alias(c)
+        (F.when(F.col(c).isNotNull(), F.lit(0).cast("long"))
+         if c in unhashable
+         else F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))).alias(c)
         for c in cols
     ])
 
     def _partials(batches):
-        sks = {c: make_sketch("hll", p=hll_p) for c in cols}
+        sks = {c: make_sketch("hll", p=hll_p)
+               for c in cols if c not in unhashable}
         n_rows = 0
         n_nulls = {c: 0 for c in cols}
         for b in batches:
@@ -59,6 +78,8 @@ def profile_agg(df: DataFrame, columns: list[str] | None = None,
             for i, c in enumerate(cols):
                 arr = b.column(i)
                 n_nulls[c] += arr.null_count
+                if c in unhashable:
+                    continue
                 vals = arr.drop_null().to_numpy(zero_copy_only=False)
                 if len(vals):
                     sks[c].insert_bulk(np.asarray(vals, dtype=np.int64))
@@ -66,7 +87,8 @@ def profile_agg(df: DataFrame, columns: list[str] | None = None,
             [pa.array(cols),
              pa.array([n_rows] * len(cols), type=pa.int64()),
              pa.array([n_nulls[c] for c in cols], type=pa.int64()),
-             pa.array([sks[c].to_bytes() for c in cols], type=pa.binary())],
+             pa.array([sks[c].to_bytes() if c in sks else b""
+                       for c in cols], type=pa.binary())],
             names=["column", "n_rows", "n_nulls", "sketch"])
 
     rows = hashed.mapInArrow(
@@ -82,7 +104,9 @@ def profile_agg(df: DataFrame, columns: list[str] | None = None,
 def _agg_to_rows(agg: dict, with_sketch: bool) -> list[tuple]:
     out = []
     for c, (n, nn, sk) in agg.items():
-        est = float(sk.estimate()) if sk is not None else 0.0
+        # sk is None only for columns that could not be hashed (map-bearing
+        # types): counts are real, the NDV estimate is surfaced as NaN
+        est = float(sk.estimate()) if sk is not None else float("nan")
         if with_sketch:
             out.append((c, n, nn, est,
                         bytearray(sk.to_bytes()) if sk is not None
@@ -106,7 +130,10 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
 
     ndv_est is the HLL estimate over xxhash64 of the column's non-null
     values — standard error ~1.04/sqrt(2^hll_p) (~0.8% at the default
-    p=14), the same bound the HLL gates verify.
+    p=14), the same bound the HLL gates verify. Columns whose type
+    contains a map (which Spark's xxhash64 rejects) still get exact
+    row/null counts but surface ndv_est = NaN and an empty sketch instead
+    of failing the whole scan.
 
     ``with_sketch=True`` additionally carries each column's merged HLL
     payload, making profiles of table INCREMENTS first-class mergeable

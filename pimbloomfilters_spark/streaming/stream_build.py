@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     LongType,
@@ -52,6 +53,19 @@ from ..sketches import Sketch, sketch_from_bytes
 _RUNNING: dict[str, Sketch] = {}
 # highest batch id whose contribution is already inside the persisted snapshot
 _PERSISTED_BATCH: dict[str, int] = {}
+# which query KIND owns each name this session: the sketch/dedup/profile
+# registries above are keyed by name, so a name reused across kinds would
+# cross-contaminate the replay-skip watermark and silently skip batches
+_KIND: dict[str, str] = {}
+
+
+def _claim(name: str, kind: str) -> None:
+    prev = _KIND.get(name)
+    if prev is not None and prev != kind:
+        raise ValueError(
+            f"stream query name {name!r} already belongs to a {prev} query "
+            f"in this session; use a distinct name per query kind")
+    _KIND[name] = kind
 
 
 def get_stream_sketch(name: str) -> Sketch | None:
@@ -129,6 +143,7 @@ def sketch_stream_query(
     snapshotted per batch next to the checkpoint and reloaded on start, so a
     driver restart resumes with all prior keys; replayed batches already in
     the snapshot are skipped (exactly-once for every sketch kind)."""
+    _claim(name, "sketch")
     _resume_state(name, checkpoint_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -231,6 +246,7 @@ def dedup_stream_query(
     from ..operators.probe import probe_key_column
     from ..sketches import make_sketch
 
+    _claim(name, "dedup")
     _resume_state(name, checkpoint_dir)
     _PREV.pop(name, None), _GEN_START.pop(name, None)
     if ttl_ms is not None and _PERSISTED_BATCH.get(name, -1) >= 0:
@@ -680,9 +696,13 @@ _SESS_OUT = StructType([
     StructField("n_events", LongType()),
 ])
 _SESS_STATE = StructType([
-    StructField("start_ms", LongType()),
-    StructField("last_ms", LongType()),
-    StructField("n_events", LongType()),
+    # ALL sessions not yet watermark-final (closed-but-bridgeable + open),
+    # parallel arrays ordered by start: a session is only emitted once the
+    # watermark passes its end + gap, i.e. once no admissible event can
+    # ever bridge/extend it
+    StructField("starts", ArrayType(LongType())),
+    StructField("lasts", ArrayType(LongType())),
+    StructField("ns", ArrayType(LongType())),
 ])
 
 
@@ -698,14 +718,21 @@ def session_stream(
     ``gap`` belong to one session; a CLOSED session is emitted as
     (user_id, session_start, session_end, n_events).
 
-    Mechanics: one GroupState row per user holds (start, last, count) of
-    the open session. Arriving events are processed in event-time order;
-    a gap inside the batch closes-and-emits immediately, and the final
-    open session closes via EventTimeTimeout once the watermark passes
-    last_event + gap (so sessions also close when a user simply stops).
-    Late events beyond the watermark are dropped by Spark upstream. State
-    is exactly one row per ACTIVE user — idle users are evicted with their
-    final session, so a long-running stream stays bounded."""
+    Mechanics: one GroupState row per user holds EVERY session that is not
+    yet watermark-final — the open session plus any closed session whose
+    end a still-admissible (within-watermark) late event could yet bridge.
+    Each invocation re-sessionizes the stored sessions (as atoms — their
+    internal gaps are <= gap by construction) together with the batch's
+    events in time order, which is exactly the batch gap rule; a session
+    is emitted only once the watermark passes its end + gap, at which
+    point NO event Spark would still accept can extend or bridge it (an
+    extending event t satisfies t <= end + gap < watermark, so it would be
+    dropped upstream). Emission therefore never needs retraction and the
+    output matches batch sessionization exactly, including the
+    late-event-bridges-an-earlier-closed-session case. EventTimeTimeout
+    flushes ripe sessions when a user simply stops. State per user is
+    bounded by watermark-delay / gap sessions (one open session plus the
+    few closed ones still inside the lateness horizon)."""
     gap_ms = _duration_ms(gap)
 
     src = (
@@ -720,50 +747,54 @@ def session_stream(
 
     def _update(key, pdfs, state: GroupState):
         (user,) = key
-        if state.hasTimedOut:
-            start_ms, last_ms, n = state.get
-            state.remove()
-            yield pd.DataFrame({
-                "user_id": [user], "session_start": [_ts_out(start_ms)],
-                "session_end": [_ts_out(last_ms)], "n_events": [n]})
-            return
-        ts = np.sort(np.concatenate([
-            pdf["_ts"].to_numpy(dtype="datetime64[ms]").astype(np.int64)
-            for pdf in pdfs
-        ]))
-        if ts.size == 0:
-            return
-        # Sessionize batch events AND the stored open session together in
-        # time order, the open session as an ATOM (start, last, n) — its
-        # internal gaps are <= gap by construction, so merging an atom is
-        # exactly the batch gap rule. This handles every late-event case
-        # the incremental fold got wrong: a within-watermark event older
-        # than the stored start joins (and extends) the session only when
-        # it is within `gap` of it; an event MORE than `gap` older forms
-        # its own earlier session (emitted closed immediately), matching
-        # batch sessionization exactly.
-        items = [(int(t), int(t), 1) for t in ts.tolist()]
+        wm = state.getCurrentWatermarkMs()
+        items = []
         if state.exists:
-            items.append(tuple(int(v) for v in state.get))
+            starts, lasts, ns = state.get
+            items += [(int(s), int(e), int(c))
+                      for s, e, c in zip(starts, lasts, ns)]
+        if not state.hasTimedOut:
+            ts = np.sort(np.concatenate([
+                pdf["_ts"].to_numpy(dtype="datetime64[ms]").astype(np.int64)
+                for pdf in pdfs
+            ]))
+            items += [(int(t), int(t), 1) for t in ts.tolist()]
+        if not items:
+            state.remove()
+            return
+        # Sessionize stored sessions (atoms — internal gaps <= gap by
+        # construction) and new events together in time order == the batch
+        # gap rule. A within-watermark late event older than a stored
+        # session joins it only when within `gap`; further away it forms
+        # its own earlier session, which stays in STATE (not emitted) so a
+        # later admissible event can still bridge it.
         items.sort()
-        cur = list(items[0])
-        closed = []
+        merged = [list(items[0])]
         for s, e, c in items[1:]:
-            if s - cur[1] <= gap_ms:
-                cur[1] = max(cur[1], e)
-                cur[2] += c
+            if s - merged[-1][1] <= gap_ms:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += c
             else:
-                closed.append(tuple(cur))
-                cur = [s, e, c]
-        start_ms, last_ms, n = cur
-        state.update((int(start_ms), int(last_ms), int(n)))
-        state.setTimeoutTimestamp(int(last_ms) + gap_ms)
-        if closed:
+                merged.append([s, e, c])
+        # ripe = untouchable by any future admissible event: an event t
+        # extending/bridging [s, e] needs t <= e + gap, and Spark drops
+        # t < watermark — so e + gap < wm means finality
+        ripe = [m for m in merged if m[1] + gap_ms < wm]
+        keep = [m for m in merged if m[1] + gap_ms >= wm]
+        if keep:
+            state.update(([s for s, _, _ in keep],
+                          [e for _, e, _ in keep],
+                          [c for _, _, c in keep]))
+            state.setTimeoutTimestamp(
+                max(min(e for _, e, _ in keep) + gap_ms, wm + 1))
+        else:
+            state.remove()
+        if ripe:
             yield pd.DataFrame({
-                "user_id": [user] * len(closed),
-                "session_start": [_ts_out(s) for s, _, _ in closed],
-                "session_end": [_ts_out(e) for _, e, _ in closed],
-                "n_events": [c for _, _, c in closed]})
+                "user_id": [user] * len(ripe),
+                "session_start": [_ts_out(s) for s, _, _ in ripe],
+                "session_end": [_ts_out(e) for _, e, _ in ripe],
+                "n_events": [c for _, _, c in ripe]})
 
     return src.groupBy("_u").applyInPandasWithState(
         _update,
@@ -904,6 +935,11 @@ def profile_stream_query(
     running profile equals a batch ``profile_table`` over everything seen.
     Snapshot-per-batch next to the checkpoint; a driver restart reloads the
     newest snapshot and skips replayed batches (exactly-once)."""
+    _claim(name, "profile")
+    # the replay-skip watermark lives in the shared _PERSISTED_BATCH dict;
+    # namespace the key so even a kind-registry bypass can't collide with a
+    # sketch/dedup query of the same name
+    wkey = f"profile:{name}"
     d = _state_dir(checkpoint_dir)
     with _PROFILE_LOCK:
         _PROFILES.pop(name, None)
@@ -916,7 +952,7 @@ def profile_stream_query(
                     best, path = bid, os.path.join(d, f)
     except FileNotFoundError:
         pass
-    _PERSISTED_BATCH[name] = best
+    _PERSISTED_BATCH[wkey] = best
     if path is not None:
         with open(path, "rb") as fh:
             loaded = _profile_from_blob(fh.read())
@@ -929,7 +965,7 @@ def profile_stream_query(
         # per-batch hot path
         from ..operators.profile import profile_agg
 
-        if batch_id <= _PERSISTED_BATCH.get(name, -1):
+        if batch_id <= _PERSISTED_BATCH.get(wkey, -1):
             return
         if batch_df.isEmpty():
             return
@@ -954,7 +990,7 @@ def profile_stream_query(
                 os.remove(os.path.join(d, f))
             except OSError:
                 pass
-        _PERSISTED_BATCH[name] = batch_id
+        _PERSISTED_BATCH[wkey] = batch_id
 
     writer = (
         stream_df.writeStream.foreachBatch(_fold)

@@ -257,3 +257,59 @@ def test_merge_profiles_equals_full_scan(spark):
     again = {r["column"]: r for r in
              merge_profiles(merge_profiles(h1), merge_profiles(h2)).collect()}
     assert bytes(again["v"]["sketch"]) == bytes(full["v"]["sketch"])
+
+
+def test_sql_functions_null_keys_return_null(spark):
+    """SQL scalar-function NULL semantics: pbf_member(NULL)/pbf_count(NULL)
+    are NULL, not a task error (nullable long arrives as float64+NaN in
+    the pandas batch)."""
+    import functools
+
+    from pimbloomfilters_spark.operators import build_sketch, register_sql_functions
+    from pimbloomfilters_spark.sketches import make_sketch
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    bf, _ = build_sketch(df, "k", functools.partial(
+        make_sketch, "bloom", size2=22, nb_hash=8))
+    register_sql_functions(spark, bf, prefix="tn")
+    cms, _ = build_sketch(df, "k", functools.partial(
+        make_sketch, "cms", eps=1e-4, delta=1e-3))
+    register_sql_functions(spark, cms, prefix="tc")
+    spark.createDataFrame(
+        [(0,), (None,), (999,), (None,), (1_000_000,)], "k long"
+    ).createOrReplaceTempView("null_probe_t")
+    rows = spark.sql(
+        "SELECT k, tn_member(k) AS m, tc_count(k) AS c FROM null_probe_t"
+    ).collect()
+    by_k = {r["k"]: (r["m"], r["c"]) for r in rows}
+    assert by_k[0] == (True, 1) and by_k[999] == (True, 1)
+    assert by_k[1_000_000][0] is False
+    nulls = [r for r in rows if r["k"] is None]
+    assert len(nulls) == 2
+    assert all(r["m"] is None and r["c"] is None for r in nulls)
+    # WHERE clause: NULL is not TRUE -> null-key rows filtered out, no error
+    n = spark.sql(
+        "SELECT count(*) AS n FROM null_probe_t WHERE tn_member(k)"
+    ).collect()[0]["n"]
+    assert n == 2
+
+
+def test_profile_table_skips_map_columns(spark):
+    """A map column (xxhash64-rejecting type) must not fail the whole
+    profile: counts stay exact, ndv_est surfaces as NaN."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pimbloomfilters_spark.operators.profile import profile_table
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 != 0,
+               F.create_map(F.lit("k"), F.col("id") % 10)).alias("m"))
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 1000 and prof["id"]["n_nulls"] == 0
+    assert prof["id"]["ndv_est"] > 900
+    assert prof["m"]["n_rows"] == 1000
+    assert prof["m"]["n_nulls"] == 250
+    assert math.isnan(prof["m"]["ndv_est"])

@@ -920,3 +920,36 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert got[("a", 2)] == got[("b", 2)]  # same bigram, same score
     assert got[("a", 2)] > got[("a", 3)]   # frequent bigram scores higher
     assert len(got) == 4
+
+
+def test_embedding_group_stats_string_keys_and_null_vectors(spark):
+    """String group columns (the repo's `source` columns) work directly;
+    NULL vectors are dropped from every stat; ragged widths raise."""
+    import numpy as np
+
+    rng = [(i, ["web", "books", "code"][i % 3],
+            [((i * 31 + j * 7) % 23 - 11) / 9.0 for j in range(6)])
+           for i in range(90)]
+    rows = rng + [(900, "web", None), (901, "books", None)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, src string, embedding array<double>"
+    ).repartition(5)
+    got = {r["src"]: r for r in
+           similarity.embedding_group_stats(df, "src", "embedding").collect()}
+    assert set(got) == {"web", "books", "code"}
+    for src in got:
+        m = np.array([v for _, s, v in rng if s == src])
+        r = got[src]
+        assert r["n_vectors"] == len(m)  # null vectors not counted
+        assert np.allclose(r["centroid"], m.mean(axis=0), atol=1e-12)
+    # ragged vectors -> clear error, not a silent mis-reshape
+    bad = spark.createDataFrame(
+        [(0, "a", [1.0, 2.0]), (1, "a", [1.0, 2.0, 3.0])],
+        "vec_id long, src string, embedding array<double>").coalesce(1)
+    with pytest.raises(Exception, match="fixed-width"):
+        similarity.embedding_group_stats(bad, "src", "embedding").collect()
+    # unsupported group-key type -> plan-time ValueError
+    dbl = spark.createDataFrame(
+        [(1.5, [1.0])], "g double, embedding array<double>")
+    with pytest.raises(ValueError, match="integral or string"):
+        similarity.embedding_group_stats(dbl, "g", "embedding")

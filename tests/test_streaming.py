@@ -664,3 +664,72 @@ def test_profile_stream_matches_batch_and_restarts(spark, tmp_path_factory):
     q2.awaitTermination(120)
     got2 = get_stream_profile("prof_q")
     assert got2 == got
+
+
+def test_session_stream_late_bridge_merges_earlier_session(spark, tmp_path_factory):
+    """A late event > gap older than the open session first forms its own
+    earlier session; a LATER within-watermark event that lands between the
+    two must BRIDGE them into one session (batch rule). Closed sessions
+    therefore stay in state until the watermark passes end + gap — split
+    or overlapping emissions would be wrong here."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from pimbloomfilters_spark.streaming import session_stream
+
+    base = dt.datetime(2025, 4, 1, 9, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    data_dir = str(tmp_path_factory.mktemp("sess_bridge"))
+    files = [
+        [(1, m(100)), (1, m(110))],       # open session [100, 110]
+        [(1, m(40))],                     # late, > gap older -> own session
+        [(1, m(65)), (1, m(92))],         # bridges 40 <-> 100 via 65+92
+        [(999, m(60 * 24 * 30))],         # sentinel flushes via timeout
+    ]
+    for batch in files:
+        spark.createDataFrame(batch, "user_id long, ts timestamp") \
+            .coalesce(1).write.mode("append").parquet(data_dir)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(data_dir))
+    out = session_stream(stream, "ts", "user_id", gap="30 minutes",
+                         watermark="4 hours")
+    q = (out.writeStream.format("memory").queryName("sess_bridge_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted((r["session_start"], r["session_end"], r["n_events"])
+                 for r in spark.sql(
+                     "select * from sess_bridge_out where user_id = 1"
+                 ).collect())
+    # batch sessionization over {40, 65, 92, 100, 110}, gap 30:
+    # consecutive deltas 25/27/8/10 -> ONE session
+    assert got == [(m(40), m(110), 5)]
+
+
+def test_stream_query_name_kind_guard(spark, tmp_path_factory):
+    """Reusing one query name across kinds would cross-contaminate the
+    shared replay-skip watermark; it must raise instead."""
+    import functools
+
+    import pytest as _pt
+
+    from pimbloomfilters_spark.sketches import make_sketch
+    from pimbloomfilters_spark.streaming import (
+        profile_stream_query, sketch_stream_query)
+
+    data_dir = str(tmp_path_factory.mktemp("kind_in"))
+    ck1 = str(tmp_path_factory.mktemp("kind_ck1"))
+    spark.range(10).withColumnRenamed("id", "k").coalesce(1) \
+        .write.mode("append").parquet(data_dir)
+    stream = spark.readStream.schema("k long").parquet(data_dir)
+    q = sketch_stream_query(
+        stream, "k", functools.partial(make_sketch, "bloom", size2=20,
+                                       nb_hash=4),
+        name="kindguard", checkpoint_dir=ck1)
+    q.awaitTermination(60)
+    with _pt.raises(ValueError, match="already belongs to a sketch"):
+        profile_stream_query(
+            spark.readStream.schema("k long").parquet(data_dir),
+            name="kindguard",
+            checkpoint_dir=str(tmp_path_factory.mktemp("kind_ck2")))
