@@ -459,7 +459,11 @@ JOIN sizes sb ON sb.seq_id = i.seq_b
 
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan table profile (ANALYZE-style): exact row/null counts per
-    column + HLL ndv within the published bound vs exact distinct."""
+    column + HLL ndv within the published bound vs exact distinct, plus
+    the numeric stats — exact integral min/max and arbitrary-precision
+    sum / sum-of-squares (decimal strings, so the oracle compares them
+    EXACTLY with HUGEINT math), exact floating min/max (comparisons, not
+    arithmetic — bit-identical cross-engine)."""
     from ..operators.profile import profile_table
 
     cust = load_table(spark, sf_dir, "customer")
@@ -475,19 +479,45 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "col_name", "n_rows", "n_nulls", "ndv_exact",
             (F.abs(F.col("ndv_est") - F.col("ndv_exact"))
-             <= 4 * rse * F.col("ndv_exact") + F.lit(3.0)).alias("ndv_ok"))
+             <= 4 * rse * F.col("ndv_exact") + F.lit(3.0)).alias("ndv_ok"),
+            "min_long", "max_long", "min_double", "max_double",
+            "sum_str", "sumsq_str")
     )
 
 
 def _profile_oracle() -> str:
-    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
-    parts = [
-        f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
-        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
-        f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_exact, TRUE AS ndv_ok "
-        f"FROM customer"
-        for c in cols
-    ]
+    typed = {"c_custkey": "i", "c_name": None, "c_nationkey": "i",
+             "c_acctbal": "f", "c_mktsegment": None}
+    parts = []
+    for c, kind in typed.items():
+        if kind == "i":
+            stats = (
+                f"CAST(min({c}) AS BIGINT) AS min_long, "
+                f"CAST(max({c}) AS BIGINT) AS max_long, "
+                f"CAST(NULL AS DOUBLE) AS min_double, "
+                f"CAST(NULL AS DOUBLE) AS max_double, "
+                f"CAST(CAST(sum({c}) AS HUGEINT) AS VARCHAR) AS sum_str, "
+                f"CAST(sum(CAST({c} AS HUGEINT) * {c}) AS VARCHAR) AS sumsq_str")
+        elif kind == "f":
+            stats = (
+                f"CAST(NULL AS BIGINT) AS min_long, "
+                f"CAST(NULL AS BIGINT) AS max_long, "
+                f"min({c}) AS min_double, max({c}) AS max_double, "
+                f"CAST(NULL AS VARCHAR) AS sum_str, "
+                f"CAST(NULL AS VARCHAR) AS sumsq_str")
+        else:
+            stats = (
+                "CAST(NULL AS BIGINT) AS min_long, "
+                "CAST(NULL AS BIGINT) AS max_long, "
+                "CAST(NULL AS DOUBLE) AS min_double, "
+                "CAST(NULL AS DOUBLE) AS max_double, "
+                "CAST(NULL AS VARCHAR) AS sum_str, "
+                "CAST(NULL AS VARCHAR) AS sumsq_str")
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_exact, "
+            f"TRUE AS ndv_ok, {stats} FROM customer")
     return "\nUNION ALL\n".join(parts)
 
 

@@ -881,43 +881,59 @@ _PROFILE_LOCK = _threading.Lock()
 
 
 def get_stream_profile(name: str) -> dict | None:
-    """{column: {"n_rows", "n_nulls", "ndv_est"}} of the running profile —
-    a consistent snapshot (never reflects a partially-folded batch)."""
+    """{column: {"n_rows", "n_nulls", "ndv_est"[, numeric stats]}} of the
+    running profile — a consistent snapshot (never reflects a
+    partially-folded batch). Numeric columns additionally carry
+    "min"/"max" and, for integral ones, exact "sum"/"sumsq" ints."""
     with _PROFILE_LOCK:
         prof = _PROFILES.get(name)
         if prof is None:
             return None
-        return {c: {"n_rows": v[0], "n_nulls": v[1],
-                    "ndv_est": float(v[2].estimate()) if v[2] is not None
-                    else 0.0}
-                for c, v in prof.items()}
+        out = {}
+        for c, v in prof.items():
+            d = {"n_rows": v[0], "n_nulls": v[1],
+                 "ndv_est": float(v[2].estimate()) if v[2] is not None
+                 else 0.0}
+            st = v[3] if len(v) > 3 else None
+            if st is not None:
+                d["min"], d["max"] = st[1], st[2]
+                if st[0] == "i":
+                    d["sum"], d["sumsq"] = st[3], st[4]
+            out[c] = d
+        return out
 
 
 def _profile_blob(prof: dict) -> bytes:
+    import json
     import struct
 
     out = [struct.pack("<q", len(prof))]
-    for c, (n, nn, sk) in prof.items():
+    for c, (n, nn, sk, st) in prof.items():
         cb = c.encode()
         pb = sk.to_bytes() if sk is not None else b""
-        out.append(struct.pack("<qqqq", len(cb), n, nn, len(pb)))
+        sb = json.dumps(st).encode() if st is not None else b""
+        out.append(struct.pack("<qqqqq", len(cb), n, nn, len(pb), len(sb)))
         out.append(cb)
         out.append(pb)
+        out.append(sb)
     return b"".join(out)
 
 
 def _profile_from_blob(raw: bytes) -> dict:
+    import json
     import struct
 
     (n_cols,) = struct.unpack_from("<q", raw, 0)
     off, prof = 8, {}
     for _ in range(n_cols):
-        lc, n, nn, lp = struct.unpack_from("<qqqq", raw, off)
-        off += 32
+        lc, n, nn, lp, ls = struct.unpack_from("<qqqqq", raw, off)
+        off += 40
         c = raw[off:off + lc].decode(); off += lc
         sk = sketch_from_bytes(raw[off:off + lp]) if lp else None
         off += lp
-        prof[c] = [n, nn, sk]
+        st = json.loads(raw[off:off + ls].decode()) if ls else None
+        off += ls
+        prof[c] = [n, nn, sk, st]
     return prof
 
 
@@ -971,13 +987,16 @@ def profile_stream_query(
             return
         batch_agg = profile_agg(batch_df, columns=columns, hll_p=hll_p)
         with _PROFILE_LOCK:
+            from ..operators.profile import merge_stats
+
             prof = _PROFILES.setdefault(name, {})
-            for c, (n, nn, sk) in batch_agg.items():
-                slot = prof.setdefault(c, [0, 0, None])
+            for c, (n, nn, sk, st) in batch_agg.items():
+                slot = prof.setdefault(c, [0, 0, None, None])
                 slot[0] += n
                 slot[1] += nn
                 if sk is not None:
                     slot[2] = sk if slot[2] is None else slot[2].merge(sk)
+                slot[3] = merge_stats(slot[3], st)
             blob = _profile_blob(prof)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".profile_{batch_id}.tmp")

@@ -313,3 +313,39 @@ def test_profile_table_skips_map_columns(spark):
     assert prof["m"]["n_rows"] == 1000
     assert prof["m"]["n_nulls"] == 250
     assert math.isnan(prof["m"]["ndv_est"])
+
+
+def test_profile_numeric_stats_exact(spark):
+    """min/max/moments: exact integral min/max + arbitrary-precision
+    sum/sumsq (closed-form check), exact float min/max, NULLs elsewhere;
+    merge of split profiles reproduces the full scan EXACTLY."""
+    from pyspark.sql import functions as F
+
+    from pimbloomfilters_spark.operators.profile import (
+        merge_profiles, profile_table)
+
+    n = 10_000
+    big = 3_000_000_000  # force sums past int64 sumsq comfort: big^2 = 9e18
+    df = spark.range(n).select(
+        (F.col("id") + big).alias("v"),
+        (F.col("id").cast("double") / 8).alias("d"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"))
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    vs = [i + big for i in range(n)]
+    assert prof["v"]["min_long"] == big
+    assert prof["v"]["max_long"] == big + n - 1
+    assert int(prof["v"]["sum_str"]) == sum(vs)
+    assert int(prof["v"]["sumsq_str"]) == sum(x * x for x in vs)  # ~9e22
+    assert prof["d"]["min_double"] == 0.0
+    assert prof["d"]["max_double"] == (n - 1) / 8
+    assert prof["d"]["sum_str"] is None and prof["d"]["min_long"] is None
+    assert prof["s"]["min_long"] is None and prof["s"]["min_double"] is None
+    h1 = profile_table(df.filter(F.col("v") % 3 == 0), with_sketch=True)
+    h2 = profile_table(df.filter(F.col("v") % 3 != 0), with_sketch=True)
+    merged = {r["column"]: r for r in merge_profiles(h1, h2).collect()}
+    full = {r["column"]: r for r in
+            profile_table(df, with_sketch=True).collect()}
+    for c in ("v", "d", "s"):
+        for f in ("n_rows", "n_nulls", "ndv_est", "min_long", "max_long",
+                  "min_double", "max_double", "sum_str", "sumsq_str"):
+            assert merged[c][f] == full[c][f], (c, f)

@@ -655,6 +655,11 @@ def test_profile_stream_matches_batch_and_restarts(spark, tmp_path_factory):
         assert got[c]["n_rows"] == expect[c]["n_rows"] == 6_000
         assert got[c]["n_nulls"] == expect[c]["n_nulls"]
         assert got[c]["ndv_est"] == expect[c]["ndv_est"]  # bit-equal
+        # numeric stats stream through the incremental fold exactly
+        assert got[c]["min"] == expect[c]["min_long"]
+        assert got[c]["max"] == expect[c]["max_long"]
+        assert str(got[c]["sum"]) == expect[c]["sum_str"]
+        assert str(got[c]["sumsq"]) == expect[c]["sumsq_str"]
 
     # restart: same checkpoint, no new files -> snapshot reloads, nothing
     # re-merges, profile unchanged
