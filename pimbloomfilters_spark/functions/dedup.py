@@ -687,6 +687,126 @@ def _batch_distinct_token_ngram_codes(col, n: int):
     return acc, starts, doc[starts]
 
 
+def _batch_token_ngram_pos_codes(col, n: int):
+    """Positional twin of ``_batch_distinct_token_ngram_codes``: every
+    length-``n`` window's KR code WITH its 1-based start position inside
+    its row — (codes, positions, row_index) arrays, NO dedup (chaining
+    needs every occurrence). Same flat-scan + boundary-mask shape."""
+    from .text import _FP_BASE, _FP_MOD
+
+    if n < 1:
+        raise ValueError(f"ngram width must be >= 1, got {n}")
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.int64))
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    vals = np.asarray(col.values, dtype=np.int64)
+    vals = vals[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    rows = len(lens)
+    if vals.size < n:
+        return empty
+    if vals.min() < 0 or vals.max() >= 1 << 31:
+        raise ValueError("token ids must be in [0, 2^31) for KR coding")
+    n_win = vals.size - n + 1
+    acc = np.zeros(n_win, dtype=np.int64)
+    for i in range(n):  # Horner: n vectorized passes, intermediates < 2^40
+        acc = (acc * _FP_BASE + vals[i:i + n_win]) % _FP_MOD
+    pos = np.arange(n_win, dtype=np.int64)
+    doc = np.repeat(np.arange(rows, dtype=np.int64), lens)[:n_win]
+    valid = pos + n <= offs[1:][doc]
+    pos_in_doc = pos - offs[:-1][doc] + 1  # 1-based, oracle convention
+    return acc[valid], pos_in_doc[valid], doc[valid]
+
+
+def token_ngram_pos_codes(df: DataFrame, n: int = 13,
+                          tokens_col: str = "tokens",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, code): every token n-gram KR code with its 1-based start
+    position — the positional occurrence stream span chaining consumes.
+    One Arrow scan, no shuffle, no per-row Python."""
+    id_type = dict(df.dtypes)[id_col]
+
+    def _codes(batches):
+        for b in batches:
+            codes, pos, doc_rows = _batch_token_ngram_pos_codes(
+                b.column(1), n)
+            if codes.size == 0:
+                continue
+            ids = b.column(0).take(pa.array(doc_rows))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(pos.astype(np.int32)), pa.array(codes)],
+                names=[id_col, "pos", "code"])
+
+    return df.select(id_col, tokens_col).mapInArrow(
+        _codes, f"{id_col} {id_type}, pos int, code long")
+
+
+def exact_substr_spans(df: DataFrame, k: int = 13,
+                       min_span: int | None = None,
+                       tokens_col: str = "tokens",
+                       id_col: str = "doc_id",
+                       max_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, start_a, start_b, span_len): maximal token spans of
+    length >= ``min_span`` (default ``k``) shared verbatim by a pair of
+    documents — cross-document substring-level exact dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    the ExactSubstr family): the dedup layer between doc-level exact
+    (``dedup_exact``) and n-gram decontamination, catching boilerplate /
+    licenses / templates repeated across otherwise-distinct documents.
+    No reference analogue (the reference has no I/O or corpus ops;
+    tests/tests_utils.hpp:13-20 generates items in RAM).
+
+    Method: a shared span of length L contains L-k+1 shared k-grams at
+    consecutive positions on one DIAGONAL (pos_a - pos_b constant), so
+    (1) code every k-gram occurrence positionally (one Arrow scan, zero
+    exchanges), (2) self-join on the 8-byte code (one shuffle of
+    (id, pos, code) rows — never token arrays), (3) chain anchors into
+    maximal runs per (doc_a, doc_b, diagonal) with the gaps-and-islands
+    trick (pos_a - row_number, a window over fine-grained pair keys —
+    never global). span_len = run_len + k - 1. KR code collisions are
+    symmetric (both engines code identically), so results are exactly
+    oracle-checkable; a collision-free guarantee at 100 TB would swap in
+    the 64-bit coder at the cost of SQL-oracle exactness.
+
+    Scale shape: output and intermediate sizes are anchor-match-bounded.
+    A k-gram occurring in f documents contributes O(f^2) anchor pairs —
+    the inherent cost of PAIRWISE span reporting. For corpus-scale
+    boilerplate REMOVAL (where one span repeats in 10^5 docs), cap with
+    ``max_df``: codes seen in more than ``max_df`` documents are dropped,
+    which truncates reporting of ultra-hot spans (document the recall
+    trade) while keeping every span whose grams stay under the cap; or
+    screen hot spans first with ``token_ngram_decontaminate`` against a
+    mined boilerplate set and run this pass on the remainder."""
+    from pyspark.sql import Window
+
+    min_span = k if min_span is None else min_span
+    if min_span < k:
+        raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
+    occ = token_ngram_pos_codes(df, k, tokens_col, id_col)
+    if max_df is not None:
+        keep = (occ.groupBy("code")
+                .agg(F.countDistinct(id_col).alias("_df"))
+                .filter(F.col("_df") <= max_df).select("code"))
+        occ = occ.join(keep, "code", "left_semi")
+    a = occ.select(F.col(id_col).alias("doc_a"),
+                   F.col("pos").alias("pos_a"), "code")
+    b = occ.select(F.col(id_col).alias("doc_b"),
+                   F.col("pos").alias("pos_b"), "code")
+    m = a.join(b, "code").filter(F.col("doc_a") < F.col("doc_b")).drop("code")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (m.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+            .withColumn("_isl", F.col("pos_a") - F.row_number().over(w)))
+    return (runs.groupBy("doc_a", "doc_b", "diag", "_isl")
+            .agg(F.min("pos_a").alias("_sa"), F.min("pos_b").alias("_sb"),
+                 F.count("*").alias("_n"))
+            .withColumn("span_len", (F.col("_n") + F.lit(k - 1)).cast("int"))
+            .filter(F.col("span_len") >= min_span)
+            .select("doc_a", "doc_b",
+                    F.col("_sa").cast("int").alias("start_a"),
+                    F.col("_sb").cast("int").alias("start_b"), "span_len"))
+
+
 def token_ngram_codes(df: DataFrame, n: int = 13,
                       tokens_col: str = "tokens",
                       id_col: str = "doc_id") -> DataFrame:

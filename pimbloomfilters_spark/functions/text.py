@@ -515,3 +515,39 @@ def bigram_lm_scores(tok_exploded: DataFrame,
         .join(F.broadcast(uni), "_prev")
         .select(doc_col, pos_col, logp.alias("logp"))
     )
+
+
+def doc_lm_perplexity(tok_exploded: DataFrame,
+                      doc_col: str = "doc_id", pos_col: str = "pos",
+                      token_col: str = "token_id") -> DataFrame:
+    """(doc_id, n_scored, sum_logp, mean_logp, ppl): document-level
+    bigram-LM score — the CCNet-style perplexity filter signal, now
+    ENGINE-EXACT instead of left to callers.
+
+    Float sums are summation-order-dependent, so a plain SUM(logp) can
+    never hash-match across engines. The fix is a FIXED-SHAPE fold: per
+    doc, collect (pos, logp) structs, sort by position, and reduce with a
+    strict LEFT fold (``F.aggregate`` with 0.0 init — adding 0.0 to the
+    first element is an exact identity since logp < 0, never -0.0/NaN).
+    Any engine folding the same doubles in the same order produces
+    bit-identical sums (IEEE addition is exactly rounded), and
+    mean = sum/n is one further exact-given-operands division. The oracle
+    twin is DuckDB's ``list_reduce(list(logp ORDER BY pos), +)``.
+    ppl = exp(-mean_logp) is provided for callers but is NOT part of the
+    bit-exact contract (libm exp may differ across engines).
+
+    Docs with fewer than 2 tokens have no scored positions and are absent
+    (score them as keep/drop by length rules instead). Scale shape: the
+    per-position scores are one doc-key shuffle + broadcasts
+    (``bigram_lm_scores``); this adds ONE groupBy on the same doc key —
+    at 100x the fold stays per-doc-sized (docs are bounded), never
+    corpus-sized."""
+    scores = bigram_lm_scores(tok_exploded, doc_col, pos_col, token_col)
+    folded = scores.groupBy(doc_col).agg(
+        F.count("*").alias("n_scored"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(pos_col, "logp"))),
+            F.lit(0.0), lambda acc, x: acc + x["logp"]).alias("sum_logp"))
+    return (folded
+            .withColumn("mean_logp", F.col("sum_logp") / F.col("n_scored"))
+            .withColumn("ppl", F.exp(-F.col("mean_logp"))))

@@ -579,7 +579,9 @@ def q_lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "pos", "logp")
 
 
-_ORACLE_LM = TOKENS_ORACLE_CTE + """,
+# shared between the per-position gate and the doc-level fold gate —
+# composed from constants, never spliced out of a finished oracle string
+_LM_CTES = TOKENS_ORACLE_CTE + """,
 pairs AS (
   SELECT doc_id, pos, token_id AS cur,
          lag(token_id) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
@@ -590,11 +592,42 @@ big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cab
         FROM pp GROUP BY 1, 2),
 uni AS (SELECT token_id AS prev, CAST(count(*) AS BIGINT) AS ca
         FROM tok GROUP BY 1),
-v AS (SELECT CAST(count(DISTINCT token_id) AS BIGINT) AS vocab FROM tok)
-SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.pos,
+v AS (SELECT CAST(count(DISTINCT token_id) AS BIGINT) AS vocab FROM tok)"""
+
+_LM_SCORED_SELECT = """SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.pos,
        ln((b.cab + 1) / (u.ca + v.vocab)) AS logp
 FROM pp p JOIN big b ON b.prev = p.prev AND b.cur = p.cur
-JOIN uni u ON u.prev = p.prev CROSS JOIN v
+JOIN uni u ON u.prev = p.prev CROSS JOIN v"""
+
+_ORACLE_LM = _LM_CTES + "\n" + _LM_SCORED_SELECT + "\n"
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level LM score via the fixed-shape left fold — per-doc float
+    SUMS hash-matched cross-engine because both engines fold the same
+    position-ordered doubles left-to-right (IEEE adds exactly rounded);
+    mean is one further division of identical operands. ppl (libm exp) is
+    excluded from the gate."""
+    from ..functions.text import doc_lm_perplexity
+
+    out = doc_lm_perplexity(tokens_exploded(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_scored", "sum_logp", "mean_logp")
+
+
+# same scored-position CTE chain as the per-position gate, then the
+# DuckDB twin of Spark's strict left fold: list_reduce over the
+# pos-ordered logp list (no 0.0 prepend: DuckDB's 0.0 literal is DECIMAL,
+# and Spark's 0.0 + first is an exact identity for logp < 0 anyway)
+_ORACLE_DOC_PPL = _LM_CTES + """,
+scored AS (""" + _LM_SCORED_SELECT + """),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+         list_reduce(list(logp ORDER BY pos), (acc, x) -> acc + x)
+             AS sum_logp
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_scored, sum_logp, sum_logp / n_scored AS mean_logp
+FROM agg
 """
 
 
@@ -1638,6 +1671,11 @@ CATALOG: dict[str, QuerySpec] = {
         q_lm_bigram_logprob, _ORACLE_LM,
         "add-one bigram LM log-prob per token position (perplexity-filter "
         "primitive), doubles bit-exact cross-engine",
+    ),
+    "doc_perplexity": QuerySpec(
+        q_doc_perplexity, _ORACLE_DOC_PPL,
+        "doc-level LM score: per-doc float SUM made engine-exact by a "
+        "fixed-shape position-ordered left fold (list_reduce twin)",
     ),
     "curation_report": QuerySpec(
         q_curation_report, _curation_oracle(),

@@ -365,6 +365,72 @@ GROUP BY c.doc_id
 """
 
 
+_SUBSTR_K = 13       # gram width (GPT-3-style 13-token granularity)
+_SUBSTR_MIN = 15     # minimum reported span length
+
+
+def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring-level exact dedup (ExactSubstr, Lee et
+    al. 2022) at planted-duplication scale: every doc with >= 30 tokens
+    gets a twin (doc_id + 100000) carrying exactly its tokens[4..21]
+    slice, so each such doc shares one verbatim 18-token span with its
+    twin — plus whatever spans the corpus itself repeats, which both
+    engines find identically (KR collisions are symmetric). Output is
+    the full (pair, boundaries, length) span table."""
+    tok = token_table(spark, sf_dir)
+    base = tok.select(F.col("doc_id").cast("long").alias("doc_id"), "tokens")
+    twins = (base.filter(F.size("tokens") >= 30)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.slice("tokens", 4, 18).alias("tokens")))
+    return dedup.exact_substr_spans(base.unionByName(twins),
+                                    k=_SUBSTR_K, min_span=_SUBSTR_MIN)
+
+
+def _substr_oracle() -> str:
+    from ..functions.text import fp_coefficients
+    from ..sources.tables import TOKENS_ORACLE_CTE
+
+    k = _SUBSTR_K
+    coeffs = fp_coefficients(k)
+    return TOKENS_ORACLE_CTE + f""",
+seqs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list(token_id ORDER BY pos) AS toks, count(*) AS n_tok
+  FROM tok GROUP BY doc_id
+),
+all_seqs AS (
+  SELECT doc_id, toks, CAST(n_tok AS INT) AS n_tok FROM seqs
+  UNION ALL
+  SELECT doc_id + 100000, toks[4:21], 18 FROM seqs WHERE n_tok >= 30
+),
+occ AS (
+  SELECT doc_id, p AS pos,
+         CAST(list_sum(list_transform(generate_series(0, {k - 1}),
+              i -> (CAST(toks[p + i] AS BIGINT) * ({coeffs})[i + 1])
+                   % 2147483647)) AS BIGINT) % 2147483647 AS code
+  FROM all_seqs,
+       LATERAL (SELECT unnest(generate_series(1, n_tok - {k - 1})) AS p) g
+  WHERE n_tok >= {k}
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM occ a JOIN occ b ON a.code = b.code AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         pos_a - row_number() OVER (
+             PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS isl
+  FROM m
+)
+SELECT doc_a, doc_b, CAST(min(pos_a) AS INT) AS start_a,
+       CAST(min(pos_b) AS INT) AS start_b,
+       CAST(count(*) + {k - 1} AS INT) AS span_len
+FROM r GROUP BY doc_a, doc_b, diag, isl
+HAVING count(*) + {k - 1} >= {_SUBSTR_MIN}
+"""
+
+
 def q_embedding_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid/norm stats with contract booleans. Float SUMS
     cannot be oracle-hashed (summation order differs across engines), so
@@ -727,6 +793,11 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         "corpus x benchmark join, exact at zero-FP geometry"),
     "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT,
                              "exact dedup: kept representative per content group"),
+    "exact_substr_spans": QuerySpec(
+        q_exact_substr_spans, _substr_oracle(),
+        "ExactSubstr (Lee et al. 2022): maximal cross-doc verbatim token "
+        "spans via positional k-gram codes + diagonal island chaining, "
+        "planted 18-token twins found with exact boundaries"),
     "dedup_exact_hash": QuerySpec(
         q_dedup_exact_hash, _ORACLE_DEDUP_EXACT,
         "exact dedup shuffling 8-byte xxhash64 keys (the 100-TB shape); "

@@ -953,3 +953,42 @@ def test_embedding_group_stats_string_keys_and_null_vectors(spark):
         [(1.5, [1.0])], "g double, embedding array<double>")
     with pytest.raises(ValueError, match="integral or string"):
         similarity.embedding_group_stats(dbl, "g", "embedding")
+
+
+def test_exact_substr_spans_planted(spark):
+    """ExactSubstr span chaining: planted boilerplate found with exact
+    boundaries; disjoint repeats split into separate spans; sub-threshold
+    overlaps excluded; pairs ordered doc_a < doc_b."""
+    base = list(range(100, 200))           # 100 distinct tokens
+    boiler = list(range(500, 530))         # 30-token boilerplate
+    filler = lambda s, n: [1000 + s * 97 + i for i in range(n)]
+    docs = [
+        (1, base[:20] + boiler + base[20:40]),           # boiler at pos 21
+        (2, filler(1, 5) + boiler + filler(2, 25)),      # boiler at pos 6
+        # two disjoint 15-token repeats of doc 1's base, split by noise
+        (3, base[:15] + filler(3, 7) + base[25:40] + filler(4, 5)),
+        (4, filler(5, 9) + base[50:60] + filler(6, 11)), # only 10 shared
+    ]
+    df = spark.createDataFrame(
+        [(i, t, len(t), "s") for i, t in docs],
+        "doc_id long, tokens array<int>, n_tok int, source string")
+    got = {(r["doc_a"], r["doc_b"], r["start_a"], r["start_b"],
+            r["span_len"])
+           for r in dedup.exact_substr_spans(df, k=8, min_span=12).collect()}
+    assert (1, 2, 21, 6, 30) in got          # the full boilerplate, chained
+    assert (1, 3, 1, 1, 15) in got           # first island
+    # second island: base[25:40] sits at pos 20+30+5+1 = 56 in doc 1
+    assert (1, 3, 56, 23, 15) in got
+    assert not any(a == 4 or b == 4 for a, b, *_ in got)  # 10 < min_span
+    assert all(a < b for a, b, *_ in got)
+    assert got == {(1, 2, 21, 6, 30), (1, 3, 1, 1, 15), (1, 3, 56, 23, 15)}
+    # max_df: a gram in 3 docs dropped at max_df=2 -> doc1/doc2/doc5 all
+    # share boiler; capping kills every boiler span but keeps base repeats
+    df5 = spark.createDataFrame(
+        [(i, t, len(t), "s") for i, t in
+         docs + [(5, filler(7, 3) + boiler + filler(8, 4))]],
+        "doc_id long, tokens array<int>, n_tok int, source string")
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              dedup.exact_substr_spans(df5, k=8, min_span=12,
+                                       max_df=2).collect()}
+    assert capped == {(1, 3)}
