@@ -1955,20 +1955,36 @@ _register_pipeline_catalog()
 # must come FIRST or they never get the hard external signal. The
 # long-green remainder keeps its registration order behind them. Keys and
 # semantics are unchanged; only dict iteration order moves.
+# The driver checks only the first ~50 queries() entries per round; this
+# list rotates coverage so no gate goes two rounds without a driver row
+# (round-4 verdict task #2). Round-5 head = new gates, then every gate
+# whose last driver row was round 3, then high-value round-4-covered
+# repeats (everything whose code or oracle changed this round, plus the
+# core sketch gates) — 50 exactly; the 30 displaced round-4-green gates
+# rotate back next round.
 _DRIVER_WINDOW_PRIORITY = [
-    # never driver-verified through round 3
-    "cosine_topk_blocked", "range_join_error_sessions", "asof_purchase_view",
-    # new in round 4 (registered below if present)
-    "dedup_exact_hash", "embedding_source_stats", "mash_distance",
-    "token_ngram_decontaminate", "source_token_kl", "quality_filter_panel",
-    "profile_table", "asof_purchase_view_salted", "lm_bigram_logprob",
-    "curation_report",
-    # green in round 2 only — fell out of the round-3 window
-    "cosine_topk", "ann_lsh_topk", "ivf_topk", "multimodal_decode_stats",
-    "multimodal_ppm_decode", "pipeline_end_to_end", "near_dup_clusters",
-    "pricing_summary", "top_customers", "user_sessions", "weighted_sample",
-    "events_hourly_counts", "events_user_distinct", "uniform_sample",
-    "stratified_sample",
+    # new in round 5
+    "doc_perplexity", "exact_substr_spans",
+    # last driver row was round 3 (28)
+    "pack_windows_stats", "token_repetition", "pack_bins_bfd",
+    "mixture_sample_tokens", "tfidf_top_terms", "pmi_top_bigrams",
+    "bm25_rank", "kll_ntok_quantiles", "tdigest_ntok_quantiles",
+    "kll_quantiles_by_source", "build_invariance", "checkpoint_resume",
+    "bloom_runtime_filter_join", "bloom_probe_distributed", "theta_set_ops",
+    "multimodal_wav_decode", "lang_id", "quality_counts", "token_stats",
+    "doc_fingerprint_md5", "doc_rolling_fingerprints",
+    "doc_winnow_fingerprints", "decontaminate", "dedup_exact",
+    "ngram_jaccard_pairs", "minhash_near_dup", "simhash_near_dup",
+    "embedding_near_dup",
+    # round-4-covered repeats: changed this round (profile schema/oracle,
+    # vocab_table dense ids, LM oracle refactor) or core sketch surface
+    "profile_table", "vocab_coverage", "lm_bigram_logprob",
+    "curation_report", "near_dup_clusters", "token_ngram_decontaminate",
+    "dedup_exact_hash", "embedding_source_stats", "cosine_topk_blocked",
+    "asof_purchase_view_salted", "asof_purchase_view",
+    "range_join_error_sessions", "bloom_probe_tokens", "bloom_weight_sanity",
+    "bloom_semijoin_custkey", "hll_distinct_tokens", "cms_heavy_hitters",
+    "kmer_distinct_hll", "mash_distance", "pack_windows",
 ]
 
 
