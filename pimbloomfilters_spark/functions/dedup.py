@@ -807,6 +807,77 @@ def exact_substr_spans(df: DataFrame, k: int = 13,
                     F.col("_sb").cast("int").alias("start_b"), "span_len"))
 
 
+def remove_token_spans(docs: DataFrame, spans: DataFrame,
+                       id_col: str = "doc_id", tokens_col: str = "tokens",
+                       span_id_col: str = "doc_b",
+                       start_col: str = "start_b",
+                       len_col: str = "span_len") -> DataFrame:
+    """(doc_id, tokens, n_tok, n_removed): cut the given token spans out
+    of their documents — the REMOVAL half of ExactSubstr dedup. Feed it
+    the (doc_b, start_b, span_len) side of ``exact_substr_spans`` and
+    every duplicated span keeps only its lowest-id (doc_a) copy; docs
+    that appear only as doc_a, or in no pair, pass through unchanged.
+    Overlapping spans union into one mask (never double-removed); spans
+    beyond the document clip at its end.
+
+    Scale shape: spans aggregate per doc into an interval list (a tiny
+    shuffle of span ROWS — never tokens), LEFT-join onto the corpus
+    keyed by doc id, then ONE Arrow pass applies the masks in numpy. The
+    corpus token arrays are never exploded or shuffled; per-row Python
+    touches only docs that HAVE spans, proportional to span count, not
+    token count."""
+    sp = (spans.groupBy(F.col(span_id_col).alias(id_col))
+          .agg(F.collect_list(
+              F.struct(F.col(start_col).alias("s"),
+                       F.col(len_col).alias("l"))).alias("_spans")))
+    id_type = dict(docs.dtypes)[id_col]
+    tok_type = dict(docs.dtypes)[tokens_col]
+    joined = (docs.select(id_col, tokens_col)
+              .join(sp, id_col, "left"))
+
+    def _cut(batches):
+        for b in batches:
+            has = np.zeros(b.num_rows, dtype=bool)
+            sc = b.column(2)
+            if sc.null_count < b.num_rows:
+                has = np.asarray(sc.is_valid().to_numpy(
+                    zero_copy_only=False), dtype=bool)
+            clean = b.filter(pa.array(~has))
+            if clean.num_rows:  # zero-copy pass-through, no Python
+                toks = clean.column(1)
+                yield pa.RecordBatch.from_arrays(
+                    [clean.column(0), toks,
+                     toks.value_lengths().cast(pa.int32()),
+                     pa.array(np.zeros(clean.num_rows, dtype=np.int32))],
+                    names=[id_col, tokens_col, "n_tok", "n_removed"])
+            dirty = b.filter(pa.array(has))
+            if not dirty.num_rows:
+                continue
+            out_toks, n_tok, n_rm = [], [], []
+            for row_toks, row_spans in zip(dirty.column(1).to_pylist(),
+                                           dirty.column(2).to_pylist()):
+                arr = np.asarray(row_toks, dtype=np.int64)
+                mask = np.zeros(arr.size, dtype=bool)
+                for s in row_spans:
+                    lo = max(int(s["s"]) - 1, 0)       # starts are 1-based
+                    hi = min(lo + int(s["l"]), arr.size)
+                    mask[lo:hi] = True
+                kept = arr[~mask]
+                out_toks.append(kept.tolist())
+                n_tok.append(int(kept.size))
+                n_rm.append(int(mask.sum()))
+            yield pa.RecordBatch.from_arrays(
+                [dirty.column(0),
+                 pa.array(out_toks, type=dirty.column(1).type),
+                 pa.array(n_tok, type=pa.int32()),
+                 pa.array(n_rm, type=pa.int32())],
+                names=[id_col, tokens_col, "n_tok", "n_removed"])
+
+    return joined.mapInArrow(
+        _cut, f"{id_col} {id_type}, {tokens_col} {tok_type}, "
+              "n_tok int, n_removed int")
+
+
 def token_ngram_codes(df: DataFrame, n: int = 13,
                       tokens_col: str = "tokens",
                       id_col: str = "doc_id") -> DataFrame:

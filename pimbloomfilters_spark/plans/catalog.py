@@ -1964,7 +1964,7 @@ _register_pipeline_catalog()
 # rotate back next round.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 5
-    "doc_perplexity", "exact_substr_spans",
+    "doc_perplexity", "exact_substr_spans", "substr_dedup_clean",
     # last driver row was round 3 (28)
     "pack_windows_stats", "token_repetition", "pack_bins_bfd",
     "mixture_sample_tokens", "tfidf_top_terms", "pmi_top_bigrams",
@@ -1984,7 +1984,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "asof_purchase_view_salted", "asof_purchase_view",
     "range_join_error_sessions", "bloom_probe_tokens", "bloom_weight_sanity",
     "bloom_semijoin_custkey", "hll_distinct_tokens", "cms_heavy_hitters",
-    "kmer_distinct_hll", "mash_distance", "pack_windows",
+    "kmer_distinct_hll", "mash_distance",
 ]
 
 

@@ -369,24 +369,31 @@ _SUBSTR_K = 13       # gram width (GPT-3-style 13-token granularity)
 _SUBSTR_MIN = 15     # minimum reported span length
 
 
-def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document substring-level exact dedup (ExactSubstr, Lee et
-    al. 2022) at planted-duplication scale: every doc with >= 30 tokens
-    gets a twin (doc_id + 100000) carrying exactly its tokens[4..21]
-    slice, so each such doc shares one verbatim 18-token span with its
-    twin — plus whatever spans the corpus itself repeats, which both
-    engines find identically (KR collisions are symmetric). Output is
-    the full (pair, boundaries, length) span table."""
+def _substr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token table + planted twins: every doc with >= 30 tokens gets a
+    twin (doc_id + 100000) carrying exactly its tokens[4..21] slice, so
+    each such doc shares one verbatim 18-token span with its twin."""
     tok = token_table(spark, sf_dir)
     base = tok.select(F.col("doc_id").cast("long").alias("doc_id"), "tokens")
     twins = (base.filter(F.size("tokens") >= 30)
              .select((F.col("doc_id") + 100000).alias("doc_id"),
                      F.slice("tokens", 4, 18).alias("tokens")))
-    return dedup.exact_substr_spans(base.unionByName(twins),
+    return base.unionByName(twins)
+
+
+def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring-level exact dedup (ExactSubstr, Lee et
+    al. 2022) at planted-duplication scale: spans between docs and their
+    planted twins, plus whatever spans the corpus itself repeats, which
+    both engines find identically (KR collisions are symmetric). Output
+    is the full (pair, boundaries, length) span table."""
+    return dedup.exact_substr_spans(_substr_corpus(spark, sf_dir),
                                     k=_SUBSTR_K, min_span=_SUBSTR_MIN)
 
 
-def _substr_oracle() -> str:
+# span-oracle pieces shared by the span gate and the removal gate —
+# composed from constants, never spliced out of a finished oracle string
+def _substr_ctes() -> str:
     from ..functions.text import fp_coefficients
     from ..sources.tables import TOKENS_ORACLE_CTE
 
@@ -422,12 +429,82 @@ r AS (
          pos_a - row_number() OVER (
              PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS isl
   FROM m
-)
-SELECT doc_a, doc_b, CAST(min(pos_a) AS INT) AS start_a,
+)"""
+
+
+def _substr_span_select() -> str:
+    return f"""SELECT doc_a, doc_b, CAST(min(pos_a) AS INT) AS start_a,
        CAST(min(pos_b) AS INT) AS start_b,
-       CAST(count(*) + {k - 1} AS INT) AS span_len
+       CAST(count(*) + {_SUBSTR_K - 1} AS INT) AS span_len
 FROM r GROUP BY doc_a, doc_b, diag, isl
-HAVING count(*) + {k - 1} >= {_SUBSTR_MIN}
+HAVING count(*) + {_SUBSTR_K - 1} >= {_SUBSTR_MIN}"""
+
+
+def _substr_oracle() -> str:
+    return _substr_ctes() + "\n" + _substr_span_select() + "\n"
+
+
+def q_substr_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of ExactSubstr composed end-to-end: find spans on
+    the twin-planted corpus, cut every doc_b copy, and fingerprint the
+    CLEANED token arrays with exact integer checksums (token sum +
+    position-weighted sum over the post-removal sequence) so the result
+    hash-compares without emitting arrays. Twins lose their entire
+    18-token body (n_tok 0); originals keep theirs (they are doc_a)."""
+    corpus = _substr_corpus(spark, sf_dir)
+    spans = dedup.exact_substr_spans(corpus, k=_SUBSTR_K,
+                                     min_span=_SUBSTR_MIN)
+    cleaned = dedup.remove_token_spans(corpus, spans)
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"))
+    pos_sum = F.when(F.size("tokens") > 0, F.aggregate(
+        F.zip_with("tokens", F.sequence(F.lit(1), F.size("tokens")),
+                   lambda t, i: t.cast("long") * i.cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )).otherwise(F.lit(0).cast("long"))
+    return cleaned.select(
+        "doc_id", "n_tok", "n_removed",
+        tok_sum.alias("tok_sum"), pos_sum.alias("pos_sum"))
+
+
+def _substr_clean_oracle() -> str:
+    return _substr_ctes() + """,
+spans AS (
+""" + _substr_span_select() + """
+),
+posns AS (
+  SELECT a.doc_id, g.p AS pos, a.toks[g.p] AS token_id
+  FROM all_seqs a,
+       LATERAL (SELECT unnest(generate_series(1, a.n_tok)) AS p) g
+),
+marked AS (
+  SELECT p.doc_id, p.pos, p.token_id,
+         EXISTS (SELECT 1 FROM spans s WHERE s.doc_b = p.doc_id
+                 AND p.pos >= s.start_b
+                 AND p.pos <= s.start_b + s.span_len - 1) AS rm
+  FROM posns p
+),
+agg1 AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (WHERE NOT rm) AS INT) AS n_tok,
+         CAST(count(*) FILTER (WHERE rm) AS INT) AS n_removed
+  FROM marked GROUP BY doc_id
+),
+kept AS (
+  SELECT doc_id, token_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS np
+  FROM marked WHERE NOT rm
+),
+agg2 AS (
+  SELECT doc_id, sum(CAST(token_id AS BIGINT)) AS tok_sum,
+         sum(CAST(token_id AS BIGINT) * np) AS pos_sum
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_tok, a.n_removed,
+       CAST(coalesce(b.tok_sum, 0) AS BIGINT) AS tok_sum,
+       CAST(coalesce(b.pos_sum, 0) AS BIGINT) AS pos_sum
+FROM agg1 a LEFT JOIN agg2 b USING (doc_id)
 """
 
 
@@ -798,6 +875,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         "ExactSubstr (Lee et al. 2022): maximal cross-doc verbatim token "
         "spans via positional k-gram codes + diagonal island chaining, "
         "planted 18-token twins found with exact boundaries"),
+    "substr_dedup_clean": QuerySpec(
+        q_substr_dedup_clean, _substr_clean_oracle(),
+        "ExactSubstr removal: cut every doc_b span copy, cleaned arrays "
+        "fingerprinted with exact integer checksums"),
     "dedup_exact_hash": QuerySpec(
         q_dedup_exact_hash, _ORACLE_DEDUP_EXACT,
         "exact dedup shuffling 8-byte xxhash64 keys (the 100-TB shape); "

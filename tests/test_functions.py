@@ -992,3 +992,27 @@ def test_exact_substr_spans_planted(spark):
               dedup.exact_substr_spans(df5, k=8, min_span=12,
                                        max_df=2).collect()}
     assert capped == {(1, 3)}
+
+
+def test_remove_token_spans(spark):
+    """Span removal: mask unions overlaps, clips at doc end, pass-through
+    docs untouched (zero-copy path), fully-removed docs -> empty arrays."""
+    docs = spark.createDataFrame(
+        [(1, list(range(30))), (2, list(range(50, 70))),
+         (3, list(range(80, 90))), (4, [7, 8, 9])],
+        "doc_id long, tokens array<int>")
+    spans = spark.createDataFrame(
+        [(1, 2, 5, 10),     # doc 2 loses positions 5..14
+         (1, 2, 12, 6),     # overlap: 12..17 -> union 5..17
+         (1, 3, 3, 100),    # clips at len 10 -> removes 3..10
+         (9, 4, 1, 3)],     # doc 4 fully removed
+        "doc_a long, doc_b long, start_b int, span_len int")
+    got = {r["doc_id"]: r for r in
+           dedup.remove_token_spans(docs, spans).collect()}
+    assert got[1]["tokens"] == list(range(30))         # pass-through
+    assert got[1]["n_removed"] == 0 and got[1]["n_tok"] == 30
+    keep2 = [50, 51, 52, 53] + [67, 68, 69]            # drop idx 4..16 (1b 5..17)
+    assert got[2]["tokens"] == keep2
+    assert got[2]["n_removed"] == 13 and got[2]["n_tok"] == 7
+    assert got[3]["tokens"] == [80, 81] and got[3]["n_removed"] == 8
+    assert got[4]["tokens"] == [] and got[4]["n_removed"] == 3
