@@ -374,7 +374,10 @@ def run_scaling() -> None:
                                  (n_cores * 4, base_keys * 4, base_rows)):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        PBF_BENCH_KEYS=str(keys), PBF_BENCH_ROWS=str(rows),
-                       PBF_BENCH_REPS=os.environ.get("PBF_BENCH_REPS", "3"))
+                       PBF_BENCH_REPS=os.environ.get("PBF_BENCH_REPS", "3"),
+                       # keep scaling subprocesses from clobbering the main
+                       # run's BENCH_FULL.json sidecar
+                       PBF_BENCH_FULL_PATH=f"/tmp/bench_full_{cpus}c.json")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
@@ -469,7 +472,9 @@ if __name__ == "__main__":
             os.dup2(saved, 1)
             os.close(saved)
         full = json.dumps(result)
-        with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as f:
+        full_path = os.environ.get(
+            "PBF_BENCH_FULL_PATH", os.path.join(_REPO, "BENCH_FULL.json"))
+        with open(full_path, "w") as f:
             f.write(full + "\n")
         print("BENCH_FULL " + full, file=sys.stderr, flush=True)
         # FINAL stdout line = compact record only (driver keeps a 2000-byte tail)
