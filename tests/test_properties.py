@@ -385,3 +385,56 @@ def test_token_ngram_codes_sliced_batch(rows, offset):
     a = _batch_distinct_token_ngram_codes(sliced, 3)
     b = _batch_distinct_token_ngram_codes(plain, 3)
     assert [x.tolist() for x in a] == [x.tolist() for x in b]
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=st.lists(
+    st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+             min_size=1, max_size=25),
+    min_size=2, max_size=10),
+    offset=st.integers(min_value=0, max_value=3))
+def test_token_ngram_pos_codes_sliced_batch(rows, offset):
+    """The POSITIONAL coder must honor Arrow slice offsets too, and its
+    (pos, code) stream must agree with a per-row Python reference."""
+    import pyarrow as pa
+
+    from pimbloomfilters_spark.functions.dedup import (
+        _batch_token_ngram_pos_codes)
+    from pimbloomfilters_spark.functions.text import _FP_BASE, _FP_MOD
+
+    n = 3
+    offset = min(offset, len(rows) - 1)
+    full = pa.array(rows, type=pa.list_(pa.int64()))
+    sliced = full.slice(offset)
+    plain = pa.array(rows[offset:], type=pa.list_(pa.int64()))
+    a = _batch_token_ngram_pos_codes(sliced, n)
+    b = _batch_token_ngram_pos_codes(plain, n)
+    assert [x.tolist() for x in a] == [x.tolist() for x in b]
+    # reference: every window of every row, 1-based positions
+    expect = []
+    for ri, r in enumerate(rows[offset:]):
+        for p in range(len(r) - n + 1):
+            code = 0
+            for t in r[p:p + n]:
+                code = (code * _FP_BASE + t) % _FP_MOD
+            expect.append((ri, p + 1, code))
+    got = list(zip(b[2].tolist(), b[1].tolist(), b[0].tolist()))
+    assert got == expect
+
+
+@settings(max_examples=80, deadline=None)
+@given(vals=st.lists(st.integers(min_value=-2**31, max_value=2**31 - 1),
+                     min_size=0, max_size=300))
+def test_exact_int_sum_matches_python(vals):
+    """The wraparound+float-hint arbitrary-precision sum must equal
+    Python's exact big-int arithmetic for any int32-range input — sums
+    AND sums of squares (which overflow int64 routinely)."""
+    from pimbloomfilters_spark.operators.profile import _exact_int_sum
+
+    v = np.asarray(vals, dtype=np.int64)
+    if v.size == 0:
+        return
+    big = v * 10**9  # push magnitudes to ~2e18 so wraps actually happen
+    assert _exact_int_sum(v) == sum(int(x) for x in vals)
+    assert _exact_int_sum(v, squares=True) == sum(int(x)**2 for x in vals)
+    assert _exact_int_sum(big) == sum(int(x) * 10**9 for x in vals)
