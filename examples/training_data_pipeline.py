@@ -7,6 +7,7 @@ Runs the full pre-tokenized pipeline with the library's public surface:
   3. repetition quality filter
   4. benchmark decontamination (13-token-gram Bloom screen; the held-out
      split stands in for an eval benchmark)
+  4b. cross-document substring dedup (ExactSubstr find + remove)
   5. token-shingle MinHash near-dup removal
   6. per-source token-budget mixture sample
   7. context-window packing stats of the final mixture
@@ -27,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from pimbloomfilters_spark.functions.dedup import (  # noqa: E402
-    token_minhash_near_dup_pairs, token_ngram_decontaminate)
+    exact_substr_spans, remove_token_spans, token_minhash_near_dup_pairs,
+    token_ngram_decontaminate)
 from pimbloomfilters_spark.functions.packing import packing_stats  # noqa: E402
 from pimbloomfilters_spark.functions.text import token_repetition_stats  # noqa: E402
 from pimbloomfilters_spark.operators import build_sketch  # noqa: E402
@@ -71,6 +73,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     report["after_decontamination"] = kept.count()
     # dirty stays cached: every later stage re-evaluates `kept`, which
     # reads it; the blob is a handful of doc ids
+
+    # cross-document substring dedup (ExactSubstr): find verbatim token
+    # spans >= 15 repeated across docs, cut every copy but the lowest-id
+    # one — catches boilerplate/templates doc-level dedup misses
+    spans = exact_substr_spans(kept, k=13, min_span=15)
+    cleaned = remove_token_spans(kept.select("doc_id", "tokens"), spans)
+    report["substr_spans_found"] = spans.count()
+    report["substr_tokens_removed"] = cleaned.agg(
+        F.sum("n_removed")).collect()[0][0]
+    kept = (kept.drop("tokens", "n_tok")
+            .join(cleaned.filter(F.col("n_tok") > 0), "doc_id"))
 
     drop = (token_minhash_near_dup_pairs(kept, threshold=0.7)
             .select(F.col("doc_b").alias("doc_id")).distinct())
