@@ -170,6 +170,24 @@ def main() -> int:
     sc_.add_argument("--nb-hash", type=int, default=8)
     sc_.add_argument("--out", required=True)
 
+    ss = sub.add_parser(
+        "substr",
+        help="cross-document substring dedup (ExactSubstr): find verbatim "
+             "token spans >= --min-span shared across docs; with "
+             "--remove, also write the cleaned corpus (every span keeps "
+             "only its lowest-id copy)")
+    ss.add_argument("--input", required=True)
+    ss.add_argument("--k", type=int, default=13, help="gram width")
+    ss.add_argument("--min-span", type=int, default=None)
+    ss.add_argument("--max-df", type=int, default=None,
+                    help="drop grams seen in more than this many docs")
+    ss.add_argument("--tokens-col", default="tokens")
+    ss.add_argument("--id-col", default="doc_id")
+    ss.add_argument("--remove", action="store_true")
+    ss.add_argument("--out", required=True,
+                    help="span table parquet (or cleaned corpus with "
+                         "--remove; spans then go to <out>_spans)")
+
     c = sub.add_parser(
         "combine",
         help="merge or subtract two sketch files of identical geometry "
@@ -264,6 +282,35 @@ def main() -> int:
         return 0
 
     df = spark.read.parquet(args.input)
+
+    if args.cmd == "substr":
+        from pimbloomfilters_spark.functions.dedup import (
+            exact_substr_spans, remove_token_spans)
+
+        spans = exact_substr_spans(
+            df, k=args.k, min_span=args.min_span,
+            tokens_col=args.tokens_col, id_col=args.id_col,
+            max_df=args.max_df)
+        res = {"k": args.k}
+        if args.remove:
+            spans_path = args.out + "_spans"
+            spans.write.mode("overwrite").parquet(spans_path)
+            spans = spark.read.parquet(spans_path)
+            cleaned = remove_token_spans(
+                df, spans, id_col=args.id_col, tokens_col=args.tokens_col)
+            cleaned.write.mode("overwrite").parquet(args.out)
+            got = spark.read.parquet(args.out)
+            res |= {"out": args.out, "spans_out": spans_path,
+                    "spans": spans.count(), "docs": got.count(),
+                    "tokens_removed": got.agg(
+                        {"n_removed": "sum"}).collect()[0][0]}
+        else:
+            spans.write.mode("overwrite").parquet(args.out)
+            res |= {"out": args.out,
+                    "spans": spark.read.parquet(args.out).count()}
+        print(json.dumps(res, default=str))
+        spark.stop()
+        return 0
 
     if args.cmd == "profile":
         from pimbloomfilters_spark.operators.profile import profile_table
