@@ -437,3 +437,21 @@ def test_vocab_table_dense_ids_match_global_window(spark, sf_dir):
                        F.row_number().over(Window.orderBy("word")).cast("int")))
     assert got == {(r["word"], r["token_id"]) for r in ref.collect()}
     assert len(got) > 0
+
+
+def test_exact_substr_spans_plan_shape(spark):
+    """ExactSubstr compiles to exactly 3 hash exchanges — the two code
+    self-join sides + ONE (doc_a, doc_b, diag) exchange that both the
+    island window and the final span aggregate reuse — with no
+    single-partition exchange and no unpartitioned window anywhere."""
+    import re
+
+    from pimbloomfilters_spark.functions.dedup import exact_substr_spans
+
+    df = spark.createDataFrame(
+        [(1, list(range(40))), (2, list(range(10, 30)))],
+        "doc_id long, tokens array<int>")
+    plan = _plan(exact_substr_spans(df, k=8))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "windowspecdefinition(doc_a" in plan  # partitioned window
