@@ -72,3 +72,34 @@ def splitmix64(values: np.ndarray) -> np.ndarray:
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         z = z ^ (z >> np.uint64(31))
     return z
+
+
+def _s64(x: int) -> int:
+    """Python int (mod 2^64) -> signed 64-bit literal value."""
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def xxh64_sql(col: str, seed: int = DEFAULT_SEED) -> str:
+    """Spark SQL expression string computing ``xxh64_u64(col, seed)`` for a
+    LONG column — XXH64 of the value's 8-byte little-endian encoding, with
+    an ARBITRARY seed (the builtin ``xxhash64(col)`` is fixed at seed 42).
+    Bit-identical to the numpy path at every seed (tested), so BOTH probe
+    hashes of the double-hashing family are JVM-expressible; whole-stage
+    codegen evaluates the ~15 integer ops per row.
+
+    Requires non-ANSI arithmetic (``spark.sql.ansi.enabled=false`` while
+    the plan is analyzed): the multiply-wrapping steps are intentional
+    mod-2^64 overflow, which ANSI mode turns into errors. Java's signed
+    long +, * and ^ wrap identically to uint64 arithmetic; logical right
+    shifts use shiftrightunsigned.
+    """
+    acc0 = _s64(seed + int(_P5) + 8)
+    k1 = f"({col} * {_s64(int(_P2))}L)"
+    k1 = f"((({k1} << 31) | shiftrightunsigned({k1}, 33)) * {_s64(int(_P1))}L)"
+    acc = f"(({acc0}L ^ {k1}))"
+    acc = (f"((((({acc} << 27) | shiftrightunsigned({acc}, 37)) "
+           f"* {_s64(int(_P1))}L) + {_s64(int(_P4))}L))")
+    acc = f"(({acc} ^ shiftrightunsigned({acc}, 33)) * {_s64(int(_P2))}L)"
+    acc = f"(({acc} ^ shiftrightunsigned({acc}, 29)) * {_s64(int(_P3))}L)"
+    return f"({acc} ^ shiftrightunsigned({acc}, 32))"

@@ -41,3 +41,29 @@ def test_splitmix64_deterministic():
     b = splitmix64(np.arange(100, dtype=np.uint64))
     assert (a == b).all()
     assert len(np.unique(a)) == 100
+
+
+def test_xxh64_sql_matches_numpy_at_arbitrary_seeds(spark):
+    """The SQL-expression XXH64 must equal the numpy path bit-for-bit at
+    seeds the builtin xxhash64 cannot express — the property that makes
+    the full double-hashing family JVM-expressible."""
+    import numpy as np
+
+    from pimbloomfilters_spark.hashing import xxh64_sql, xxh64_u64
+
+    keys = np.array([0, 1, -1, 2**63 - 1, -2**63, 123456789, -987654321,
+                     0x9E3779B97F4A7C15 - 2**64], dtype=np.int64)
+    df = spark.createDataFrame([(int(k),) for k in keys], "k long")
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", False)
+    try:
+        for seed in (42, 0, 1, 42 + 0x9E37, 2**31, 7777777):
+            got = np.array(
+                [r["h"] for r in
+                 df.selectExpr("k", f"{xxh64_sql('k', seed)} AS h")
+                 .orderBy("k").collect()], dtype=np.int64)
+            ks = np.array(sorted(keys.tolist()), dtype=np.int64)
+            expect = xxh64_u64(ks.view(np.uint64), seed).view(np.int64)
+            assert (got == expect).all(), seed
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
