@@ -78,7 +78,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # spans >= 15 repeated across docs, cut every copy but the lowest-id
     # one — catches boilerplate/templates doc-level dedup misses
     spans = exact_substr_spans(kept, k=13, min_span=15)
-    cleaned = remove_token_spans(kept.select("doc_id", "tokens"), spans)
+    # cache: the span self-join + removal would otherwise re-execute for
+    # every downstream action that re-evaluates `kept` (same hazard the
+    # `dirty` cache above documents)
+    cleaned = remove_token_spans(kept.select("doc_id", "tokens"), spans).cache()
     report["substr_spans_found"] = spans.count()
     report["substr_tokens_removed"] = cleaned.agg(
         F.sum("n_removed")).collect()[0][0]

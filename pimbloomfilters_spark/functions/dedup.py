@@ -644,21 +644,20 @@ def embedding_near_dup_lsh(df: DataFrame, vec_col: str = "embedding",
 
 
 # ------------------------------------------- token n-gram decontamination
-def _batch_distinct_token_ngram_codes(col, n: int):
-    """Distinct Karp-Rabin codes (mod 2^31-1, base 257 — the SQL-exact
-    coding ``text._batch_window_hashes`` uses over bytes) of every
-    length-``n`` token window per row of an Arrow LIST batch column. Same
-    flat-scan + boundary-mask + lexsort shape and return contract as
-    ``_batch_distinct_list_shingles``; unlike the shingle packer this is
-    NOT a bijection (n > 2 exceeds exact packing), but collisions are
-    SYMMETRIC — any engine computing the identical code sees the identical
-    collision — so code-set comparisons stay exact cross-engine."""
+_EMPTY3 = (np.empty(0, np.int64), np.empty(0, np.int64),
+           np.empty(0, np.int64))
+
+
+def _flat_window_codes(col, n: int):
+    """(codes, pos_in_doc_1based, row_index) of EVERY valid length-``n``
+    token window of an Arrow LIST batch column — the shared flat-scan +
+    Horner-KR + boundary-mask core (handles sliced arrays: offsets need
+    not start at 0). Both n-gram coders derive from this; the sliced-
+    batch property tests protect exactly this code."""
     from .text import _FP_BASE, _FP_MOD
 
     if n < 1:
         raise ValueError(f"ngram width must be >= 1, got {n}")
-    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
-             np.empty(0, np.int64))
     offs = np.asarray(col.offsets, dtype=np.int64)
     vals = np.asarray(col.values, dtype=np.int64)
     vals = vals[offs[0]:offs[-1]]
@@ -666,46 +665,7 @@ def _batch_distinct_token_ngram_codes(col, n: int):
     lens = np.diff(offs)
     rows = len(lens)
     if vals.size < n:
-        return empty
-    if vals.min() < 0 or vals.max() >= 1 << 31:
-        raise ValueError("token ids must be in [0, 2^31) for KR coding")
-    n_win = vals.size - n + 1
-    acc = np.zeros(n_win, dtype=np.int64)
-    for i in range(n):  # Horner: n vectorized passes, intermediates < 2^40
-        acc = (acc * _FP_BASE + vals[i:i + n_win]) % _FP_MOD
-    pos = np.arange(n_win, dtype=np.int64)
-    doc = np.repeat(np.arange(rows, dtype=np.int64), lens)[:n_win]
-    valid = pos + n <= offs[1:][doc]
-    acc, doc = acc[valid], doc[valid]
-    if acc.size == 0:
-        return empty
-    order = np.lexsort((acc, doc))
-    doc, acc = doc[order], acc[order]
-    keep = np.r_[True, (doc[1:] != doc[:-1]) | (acc[1:] != acc[:-1])]
-    doc, acc = doc[keep], acc[keep]
-    starts = np.r_[0, np.flatnonzero(doc[1:] != doc[:-1]) + 1]
-    return acc, starts, doc[starts]
-
-
-def _batch_token_ngram_pos_codes(col, n: int):
-    """Positional twin of ``_batch_distinct_token_ngram_codes``: every
-    length-``n`` window's KR code WITH its 1-based start position inside
-    its row — (codes, positions, row_index) arrays, NO dedup (chaining
-    needs every occurrence). Same flat-scan + boundary-mask shape."""
-    from .text import _FP_BASE, _FP_MOD
-
-    if n < 1:
-        raise ValueError(f"ngram width must be >= 1, got {n}")
-    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
-             np.empty(0, np.int64))
-    offs = np.asarray(col.offsets, dtype=np.int64)
-    vals = np.asarray(col.values, dtype=np.int64)
-    vals = vals[offs[0]:offs[-1]]
-    offs = offs - offs[0]
-    lens = np.diff(offs)
-    rows = len(lens)
-    if vals.size < n:
-        return empty
+        return _EMPTY3
     if vals.min() < 0 or vals.max() >= 1 << 31:
         raise ValueError("token ids must be in [0, 2^31) for KR coding")
     n_win = vals.size - n + 1
@@ -717,6 +677,34 @@ def _batch_token_ngram_pos_codes(col, n: int):
     valid = pos + n <= offs[1:][doc]
     pos_in_doc = pos - offs[:-1][doc] + 1  # 1-based, oracle convention
     return acc[valid], pos_in_doc[valid], doc[valid]
+
+
+def _batch_distinct_token_ngram_codes(col, n: int):
+    """Distinct Karp-Rabin codes (mod 2^31-1, base 257 — the SQL-exact
+    coding ``text._batch_window_hashes`` uses over bytes) of every
+    length-``n`` token window per row of an Arrow LIST batch column. Same
+    return contract as ``_batch_distinct_list_shingles``
+    ((values, group_starts, group_rows)); unlike the shingle packer this
+    is NOT a bijection (n > 2 exceeds exact packing), but collisions are
+    SYMMETRIC — any engine computing the identical code sees the
+    identical collision — so code-set comparisons stay exact
+    cross-engine."""
+    acc, _pos, doc = _flat_window_codes(col, n)
+    if acc.size == 0:
+        return _EMPTY3
+    order = np.lexsort((acc, doc))
+    doc, acc = doc[order], acc[order]
+    keep = np.r_[True, (doc[1:] != doc[:-1]) | (acc[1:] != acc[:-1])]
+    doc, acc = doc[keep], acc[keep]
+    starts = np.r_[0, np.flatnonzero(doc[1:] != doc[:-1]) + 1]
+    return acc, starts, doc[starts]
+
+
+def _batch_token_ngram_pos_codes(col, n: int):
+    """Positional twin of ``_batch_distinct_token_ngram_codes``: every
+    window's KR code WITH its 1-based start position — NO dedup (span
+    chaining needs every occurrence)."""
+    return _flat_window_codes(col, n)
 
 
 def token_ngram_pos_codes(df: DataFrame, n: int = 13,

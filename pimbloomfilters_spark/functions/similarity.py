@@ -491,9 +491,11 @@ def embedding_group_stats(df: DataFrame, group_col: str = "label",
 
     Group keys may be integral (int/long — the label column) or string
     (the repo's ``source`` columns); other key types raise at plan time.
-    Rows with a NULL vector are dropped (they carry no signal for any
-    stat); ragged vectors (mixed widths within a batch) raise a clear
-    ValueError instead of silently mis-reshaping.
+    Rows with a NULL vector OR a NULL group key are dropped (a NULL key
+    has no group to contribute to — and would otherwise crash np.unique
+    for strings or silently coerce to a garbage id for ints); ragged
+    vectors (mixed widths within a batch) raise a clear ValueError
+    instead of silently mis-reshaping.
 
     100-TB shape: one pass of per-partition fp64 PARTIAL sums (numpy
     ``np.add.at`` group-scatter per Arrow batch — no per-row Python), then
@@ -513,12 +515,14 @@ def embedding_group_stats(df: DataFrame, group_col: str = "label",
             f"{gtype}; only integral or string group keys are supported")
 
     def _partials(batches):
+        import pyarrow.compute as pc
+
         for b in batches:
             vec = b.column(1)
             if isinstance(vec, pa.ChunkedArray):
                 vec = vec.combine_chunks()
-            if vec.null_count:
-                keep = vec.is_valid()
+            if vec.null_count or b.column(0).null_count:
+                keep = pc.and_(b.column(0).is_valid(), vec.is_valid())
                 b = b.filter(keep)
                 vec = b.column(1)
                 if isinstance(vec, pa.ChunkedArray):

@@ -184,39 +184,52 @@ def register_sql_functions(spark, sketch: Sketch,
     the new sketch.
 
     NULL keys follow SQL scalar-function semantics: ``pbf_member(NULL)``
-    and ``pbf_count(NULL)`` are NULL (a nullable key column arrives as
-    float64+NaN in the pandas batch; converting that straight to int64
-    would throw a task error instead)."""
+    and ``pbf_count(NULL)`` are NULL. The functions are ARROW UDFs, not
+    pandas UDFs: a nullable long column reaches a pandas UDF as
+    float64+NaN, which both crashes on the NaN and silently rounds every
+    |key| > 2^53 — an arrow_udf receives the raw int64 Arrow array with
+    its validity mask, so keys stay exact at any magnitude and the null
+    mask transfers straight to the output."""
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
     name = ship_sketch(spark, sketch)
     registered = []
 
-    def _masked(keys: pd.Series, fn, dtype):
-        valid = keys.notna()
-        out = pd.array([pd.NA] * len(keys), dtype=dtype)
-        if valid.any():
-            res = fn(keys[valid].to_numpy(dtype=np.int64))
-            out[np.flatnonzero(valid.to_numpy())] = np.asarray(res)
-        return pd.Series(out)
+    def _masked(keys: "pa.Array", fn, out_type):
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        mask = None
+        if keys.null_count:
+            mask = ~np.asarray(keys.is_valid().to_numpy(
+                zero_copy_only=False), dtype=bool)
+            keys = keys.fill_null(0)
+        vals = np.asarray(keys.to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        return pa.array(np.asarray(fn(vals)), type=out_type, mask=mask)
 
+    # this module has `from __future__ import annotations`, which turns the
+    # pa.Array hints arrow_udf's type inference needs into strings; set the
+    # real objects on __annotations__ before decorating
     if hasattr(sketch, "contains_bulk"):
 
-        @pandas_udf("boolean")
-        def _member(keys: pd.Series) -> pd.Series:
+        def _member(keys):
             sk = load_shipped_sketch(name)
-            return _masked(keys, sk.contains_bulk, "boolean")
+            return _masked(keys, sk.contains_bulk, pa.bool_())
 
-        spark.udf.register(f"{prefix}_member", _member)
+        _member.__annotations__ = {"keys": pa.Array, "return": pa.Array}
+        spark.udf.register(f"{prefix}_member", arrow_udf(_member, "boolean"))
         registered.append(f"{prefix}_member")
     if hasattr(sketch, "query_bulk"):
 
-        @pandas_udf("long")
-        def _count(keys: pd.Series) -> pd.Series:
+        def _count(keys):
             sk = load_shipped_sketch(name)
             return _masked(
                 keys, lambda v: np.asarray(sk.query_bulk(v), dtype=np.int64),
-                "Int64")
+                pa.int64())
 
-        spark.udf.register(f"{prefix}_count", _count)
+        _count.__annotations__ = {"keys": pa.Array, "return": pa.Array}
+        spark.udf.register(f"{prefix}_count", arrow_udf(_count, "long"))
         registered.append(f"{prefix}_count")
     if not registered:
         raise ValueError(

@@ -62,23 +62,38 @@ def merge_stats(a: list | None, b: list | None) -> list | None:
             None if a[4] is None else a[4] + b[4]]
 
 
-def _exact_int_sum(v: np.ndarray, squares: bool = False) -> int:
-    """Arbitrary-precision sum (or sum of squares) of an int64 array with
-    no per-row Python: the uint64 wraparound sum is EXACT mod 2^64, and a
-    float64 sum pins which multiple of 2^64 the true value is — exact as
-    long as the float error stays under 2^63, which holds for any batch of
-    int32-range values (the north-rule payload: tokens int32, n_tok int32)
-    and for int64-range plain sums; only sums of SQUARES of values far
-    beyond 2^31 could exceed the bound."""
-    u = v.view(np.uint64) if v.dtype == np.int64 else v.astype(np.uint64)
-    if squares:
-        u = u * u  # wrapping products: exact mod 2^64
-        f = float(np.dot(v.astype(np.float64), v.astype(np.float64)))
-    else:
-        f = float(v.astype(np.float64).sum())
+def _wrap_float_sum(u: np.ndarray, f: float) -> int:
+    """Exact arbitrary-precision sum from a uint64 wraparound sum (exact
+    mod 2^64) plus a float64 estimate that pins which multiple of 2^64
+    the true value is. Exact while |float error| < 2^63 — guaranteed for
+    Arrow-batch-sized arrays of per-term magnitude <= 2^64 (error is
+    ~n^2 * ulp(max term) ~ n^2 * 2^11)."""
     w = int(u.sum(dtype=np.uint64))
     s = w - (1 << 64) if w >= (1 << 63) else w
     return s + (int(round((f - s) / 2.0 ** 64)) << 64)
+
+
+def _exact_int_sum(v: np.ndarray, squares: bool = False) -> int:
+    """Arbitrary-precision sum (or sum of squares) of an int64 array with
+    no per-row Python. Plain sums use one wraparound+float-hint
+    reconstruction. Sums of SQUARES cannot: a full-range int64 square is
+    ~2^126 with float64 representation error up to 2^73, far past the
+    2^63 recovery bound — so v splits into 32-bit halves (v = h*2^32 + l,
+    exact) and v^2 = 2^64*h^2 + 2^33*h*l + l^2 sums as THREE per-term-
+    bounded (< 2^64) exact reconstructions. Exact for ANY int64 input."""
+    v = np.asarray(v, dtype=np.int64)
+    if not squares:
+        return _wrap_float_sum(v.view(np.uint64),
+                               float(v.astype(np.float64).sum()))
+    h = v >> 32                                  # signed floor high half
+    l = (v & np.int64(0xFFFFFFFF)).view(np.uint64)   # unsigned low half
+    hf = h.astype(np.float64)
+    lf = l.astype(np.float64)
+    s_h2 = _wrap_float_sum((h * h).view(np.uint64), float(np.dot(hf, hf)))
+    s_hl = _wrap_float_sum((h * l.view(np.int64)).view(np.uint64),
+                           float(np.dot(hf, lf)))
+    s_l2 = _wrap_float_sum(l * l, float(np.dot(lf, lf)))
+    return (s_h2 << 64) + (s_hl << 33) + s_l2
 
 
 def fold_profile_row(agg: dict, column: str, n_rows: int, n_nulls: int,
@@ -224,10 +239,13 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     arbitrary-precision sum / sum-of-squares as decimal strings
     (sum_str/sumsq_str — mean and variance derive from them; 10^12 rows
     of squared int64 overflows every fixed-width SQL type, hence
-    strings); floating columns carry exact min/max (min_double/
-    max_double) but no float sums, which are summation-order-dependent
-    and would break the bit-exact merge contract. Non-numeric columns
-    leave all six NULL.
+    strings; exact for the FULL int64 range via the 32-bit hi/lo split,
+    so xxhash64-valued key columns profile correctly); floating columns
+    carry exact min/max over the NON-NaN values (NaN is treated as a
+    missing measurement, like NULL — note engines' own max() instead
+    sorts NaN greatest) but no float sums, which are summation-order-
+    dependent and would break the bit-exact merge contract. Non-numeric
+    columns leave all six NULL.
 
     ndv_est is the HLL estimate over xxhash64 of the column's non-null
     values — standard error ~1.04/sqrt(2^hll_p) (~0.8% at the default

@@ -34,30 +34,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, token_id) — deterministic dense ids, 1-based, ordered by word.
 
-    Scale shape: dense ranking WITHOUT a single-task global window.
-    Range-partition the distinct words (partition p's words all sort before
-    partition p+1's), rank locally inside each partition, then add the
-    exclusive prefix sum of partition sizes (a numPartitions-row driver
-    aggregate). Output is identical to ``row_number() over (order by word)``
-    at any vocabulary size, but the sort work is spread over all partitions.
-    The explicit partition count keeps AQE from re-coalescing the exchange
-    between the size pass and the ranking pass, so partition ids agree."""
+    Scale shape: dense ranking WITHOUT a single-task global window and
+    WITHOUT data-dependent partitioning. Words bucket by a DETERMINISTIC
+    pure function of the word itself — the first two character codes,
+    which is monotone under the same binary ordering Spark sorts strings
+    by — so every evaluation of this plan assigns identical buckets
+    (``repartitionByRange`` would NOT: its range bounds come from a
+    re-sampled sketch whose seed changes per execution, so the
+    size-collect and the later evaluations could disagree and corrupt
+    ids at exactly the large-vocabulary scale this targets). Per-bucket
+    local rank + the exclusive prefix sum of bucket sizes (one tiny
+    aggregate, broadcast back) equals ``row_number() over (order by
+    word)`` at any vocabulary size; bucket skew is bounded by the
+    prefix distribution, and each bucket is window-sorted in parallel."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("word")).distinct()
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    parts = (words.repartitionByRange(n_parts, "word")
-             .withColumn("_pid", F.spark_partition_id()))
-    sizes = {r["_pid"]: r["cnt"] for r in
-             parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    off = F.create_map(*[x for pid in sorted(sizes)
-                         for x in (F.lit(pid), F.lit(offsets[pid]))])
-    local = F.row_number().over(Window.partitionBy("_pid").orderBy("word"))
-    return parts.withColumn(
-        "token_id", (off[F.col("_pid")] + local).cast("int")).drop("_pid")
+    # monotone in binary string order: (cp1, cp2) compares like the word's
+    # first two chars; UTF-8 byte order == code-point order
+    bucket = (F.coalesce(F.ascii(F.substring("word", 1, 1)), F.lit(0))
+              * F.lit(1 << 21)
+              + F.coalesce(F.ascii(F.substring("word", 2, 1)), F.lit(0))
+              ).alias("_bkt")
+    parts = words.select("word", bucket)
+    sizes = sorted((r["_bkt"], r["cnt"]) for r in
+                   parts.groupBy("_bkt").agg(F.count("*").alias("cnt"))
+                   .collect())
+    offsets, acc = [], 0
+    for bkt, cnt in sizes:
+        offsets.append((bkt, acc))
+        acc += cnt
+    off = F.broadcast(spark.createDataFrame(offsets, "_bkt long, _off long"))
+    local = F.row_number().over(Window.partitionBy("_bkt").orderBy("word"))
+    return (parts.join(off, "_bkt")
+            .withColumn("token_id", (F.col("_off") + local).cast("int"))
+            .select("word", "token_id"))
 
 
 # several catalog queries derive the same token table in one session; keep

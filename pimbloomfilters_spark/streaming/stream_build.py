@@ -892,8 +892,10 @@ def get_stream_profile(name: str) -> dict | None:
         out = {}
         for c, v in prof.items():
             d = {"n_rows": v[0], "n_nulls": v[1],
+                 # NaN for not-estimable (map-typed) columns, matching the
+                 # batch profiler's surface exactly
                  "ndv_est": float(v[2].estimate()) if v[2] is not None
-                 else 0.0}
+                 else float("nan")}
             st = v[3] if len(v) > 3 else None
             if st is not None:
                 d["min"], d["max"] = st[1], st[2]
@@ -903,11 +905,14 @@ def get_stream_profile(name: str) -> dict | None:
         return out
 
 
+_PROFILE_BLOB_V2 = -2  # magic: v2 snapshots carry a per-column stats field
+
+
 def _profile_blob(prof: dict) -> bytes:
     import json
     import struct
 
-    out = [struct.pack("<q", len(prof))]
+    out = [struct.pack("<qq", _PROFILE_BLOB_V2, len(prof))]
     for c, (n, nn, sk, st) in prof.items():
         cb = c.encode()
         pb = sk.to_bytes() if sk is not None else b""
@@ -923,11 +928,22 @@ def _profile_from_blob(raw: bytes) -> dict:
     import json
     import struct
 
-    (n_cols,) = struct.unpack_from("<q", raw, 0)
-    off, prof = 8, {}
+    (head,) = struct.unpack_from("<q", raw, 0)
+    v2 = head == _PROFILE_BLOB_V2
+    if v2:
+        (n_cols,) = struct.unpack_from("<q", raw, 8)
+        off = 16
+    else:   # legacy snapshot (pre-stats format): head IS n_cols
+        n_cols, off = head, 8
+    prof = {}
     for _ in range(n_cols):
-        lc, n, nn, lp, ls = struct.unpack_from("<qqqqq", raw, off)
-        off += 40
+        if v2:
+            lc, n, nn, lp, ls = struct.unpack_from("<qqqqq", raw, off)
+            off += 40
+        else:
+            lc, n, nn, lp = struct.unpack_from("<qqqq", raw, off)
+            ls = 0
+            off += 32
         c = raw[off:off + lc].decode(); off += lc
         sk = sketch_from_bytes(raw[off:off + lp]) if lp else None
         off += lp

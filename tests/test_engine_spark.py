@@ -261,8 +261,9 @@ def test_merge_profiles_equals_full_scan(spark):
 
 def test_sql_functions_null_keys_return_null(spark):
     """SQL scalar-function NULL semantics: pbf_member(NULL)/pbf_count(NULL)
-    are NULL, not a task error (nullable long arrives as float64+NaN in
-    the pandas batch)."""
+    are NULL, not a task error, and keys beyond 2^53 stay EXACT even when
+    the batch contains NULLs (the arrow_udf path; a pandas UDF would see
+    float64+NaN and silently round large keys)."""
     import functools
 
     from pimbloomfilters_spark.operators import build_sketch, register_sql_functions
@@ -292,6 +293,20 @@ def test_sql_functions_null_keys_return_null(spark):
         "SELECT count(*) AS n FROM null_probe_t WHERE tn_member(k)"
     ).collect()[0]["n"]
     assert n == 2
+    # exactness beyond 2^53 with NULLs in the same batch: insert one huge
+    # odd key; no-false-negatives requires member(exact key) = True, and a
+    # float64 round-trip would probe the rounded (different) key instead
+    big = 8888888888888888887
+    bfd = spark.createDataFrame([(big,)], "k long")
+    bf2, _ = build_sketch(bfd, "k", functools.partial(
+        make_sketch, "bloom", size2=22, nb_hash=8))
+    register_sql_functions(spark, bf2, prefix="tb")
+    spark.createDataFrame([(big,), (None,), (-(2**63) + 1,)], "k long") \
+        .coalesce(1).createOrReplaceTempView("big_probe_t")
+    rows = {r["k"]: r["m"] for r in spark.sql(
+        "SELECT k, tb_member(k) AS m FROM big_probe_t").collect()}
+    assert rows[big] is True            # exact key found (no FN)
+    assert rows[None] is None
 
 
 def test_profile_table_skips_map_columns(spark):

@@ -930,7 +930,8 @@ def test_embedding_group_stats_string_keys_and_null_vectors(spark):
     rng = [(i, ["web", "books", "code"][i % 3],
             [((i * 31 + j * 7) % 23 - 11) / 9.0 for j in range(6)])
            for i in range(90)]
-    rows = rng + [(900, "web", None), (901, "books", None)]
+    rows = rng + [(900, "web", None), (901, "books", None),
+                  (902, None, [1.0] * 6)]  # NULL key: dropped, no crash
     df = spark.createDataFrame(
         rows, "vec_id long, src string, embedding array<double>"
     ).repartition(5)

@@ -423,18 +423,18 @@ def test_token_ngram_pos_codes_sliced_batch(rows, offset):
 
 
 @settings(max_examples=80, deadline=None)
-@given(vals=st.lists(st.integers(min_value=-2**31, max_value=2**31 - 1),
+@given(vals=st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
                      min_size=0, max_size=300))
 def test_exact_int_sum_matches_python(vals):
-    """The wraparound+float-hint arbitrary-precision sum must equal
-    Python's exact big-int arithmetic for any int32-range input — sums
-    AND sums of squares (which overflow int64 routinely)."""
+    """The arbitrary-precision sums must equal Python's exact big-int
+    arithmetic for the FULL int64 range — plain sums via wraparound +
+    float hint, sums of squares via the 32-bit hi/lo split (a full-range
+    square is ~2^126, where a single float hint's error exceeds the 2^64
+    recovery bound; xxhash64-valued columns are first-class here)."""
     from pimbloomfilters_spark.operators.profile import _exact_int_sum
 
     v = np.asarray(vals, dtype=np.int64)
     if v.size == 0:
         return
-    big = v * 10**9  # push magnitudes to ~2e18 so wraps actually happen
     assert _exact_int_sum(v) == sum(int(x) for x in vals)
     assert _exact_int_sum(v, squares=True) == sum(int(x)**2 for x in vals)
-    assert _exact_int_sum(big) == sum(int(x) * 10**9 for x in vals)

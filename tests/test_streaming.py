@@ -738,3 +738,31 @@ def test_stream_query_name_kind_guard(spark, tmp_path_factory):
             spark.readStream.schema("k long").parquet(data_dir),
             name="kindguard",
             checkpoint_dir=str(tmp_path_factory.mktemp("kind_ck2")))
+
+
+def test_profile_blob_roundtrip_and_legacy_format():
+    """v2 snapshots round-trip stats; a legacy (pre-stats, 4-field) blob
+    still parses — a checkpoint written by the old format must not brick
+    resume."""
+    import struct
+
+    from pimbloomfilters_spark.sketches import make_sketch
+    from pimbloomfilters_spark.streaming.stream_build import (
+        _profile_blob, _profile_from_blob)
+
+    sk = make_sketch("hll", p=12)
+    import numpy as np
+    sk.insert_bulk(np.arange(100, dtype=np.int64))
+    prof = {"a": [10, 2, sk, ["i", -5, 9, 40, 1234567890123456789012]],
+            "b": [10, 0, None, None]}
+    got = _profile_from_blob(_profile_blob(prof))
+    assert got["a"][:2] == [10, 2] and got["a"][3] == prof["a"][3]
+    assert got["a"][2].to_bytes() == sk.to_bytes()
+    assert got["b"] == [10, 0, None, None]
+    # hand-build a legacy blob: <q n_cols, then <qqqq records, no stats
+    pb = sk.to_bytes()
+    legacy = (struct.pack("<q", 1)
+              + struct.pack("<qqqq", 1, 7, 3, len(pb)) + b"c" + pb)
+    old = _profile_from_blob(legacy)
+    assert old["c"][:2] == [7, 3] and old["c"][3] is None
+    assert old["c"][2].to_bytes() == pb
