@@ -1,4 +1,4 @@
-"""Bulk membership probe: shipped sketch + vectorized pandas UDF.
+"""Bulk membership probe: shipped sketch + vectorized Arrow UDFs.
 
 Re-expresses ``PimBloomFilter::contains_bulk`` (``src/pim_bloom_filter.cpp:
 214-349``). The reference ships original indexes with every bucket and
@@ -25,9 +25,7 @@ import tempfile
 from itertools import count
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
 
 from ..sketches import Sketch, sketch_from_bytes
 
@@ -60,42 +58,83 @@ def load_shipped_sketch(name: str) -> Sketch:
     return sk
 
 
+def _scalar_arrow_udf(fn, ret_ddl: str):
+    """Decorate ``fn(pa.Array) -> pa.Array`` as an arrow_udf. The module's
+    ``from __future__ import annotations`` stringifies type hints, which
+    breaks arrow_udf's signature inference — set the real objects
+    explicitly."""
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    fn.__annotations__ = {"keys": pa.Array, "return": pa.Array}
+    return arrow_udf(fn, ret_ddl)
+
+
+def _masked_int64(keys, fn, out_type):
+    """Apply ``fn`` to the non-null int64 values of an Arrow array, with
+    SQL NULL-in/NULL-out semantics. Zero pandas: a nullable long column
+    reaches a pandas UDF as float64+NaN (rounding |key| > 2^53); the raw
+    Arrow array keeps keys exact at any magnitude."""
+    import pyarrow as pa
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    mask = None
+    if keys.null_count:
+        mask = ~np.asarray(keys.is_valid().to_numpy(
+            zero_copy_only=False), dtype=bool)
+        keys = keys.fill_null(0)
+    vals = np.asarray(keys.to_numpy(zero_copy_only=False), dtype=np.int64)
+    return pa.array(np.asarray(fn(vals)), type=out_type, mask=mask)
+
+
 def probe_key_column(df: DataFrame, sketch: Sketch, key_col: str,
                      out_col: str = "member") -> DataFrame:
-    """Boolean membership per row for a scalar int64 key column."""
+    """Boolean membership per row for a scalar int64 key column (NULL key
+    -> NULL, exact at any key magnitude — arrow_udf, no pandas)."""
+    import pyarrow as pa
+
     name = ship_sketch(df.sparkSession, sketch)
 
-    @pandas_udf("boolean")
-    def _probe(keys: pd.Series) -> pd.Series:
+    def _probe(keys):
         sk = load_shipped_sketch(name)
-        vals = keys.to_numpy(dtype=np.int64)
-        return pd.Series(sk.contains_bulk(vals))
+        return _masked_int64(keys, sk.contains_bulk, pa.bool_())
 
-    return df.withColumn(out_col, _probe(F.col(key_col)))
+    return df.withColumn(out_col,
+                         _scalar_arrow_udf(_probe, "boolean")(F.col(key_col)))
 
 
 def probe_array_column(df: DataFrame, sketch: Sketch, tokens_col: str,
                        out_col: str = "member") -> DataFrame:
     """array<boolean> membership, element-aligned with the token array —
-    the row-aligned bulk-probe contract of ``src/bloom_filter.hpp:55-58``."""
+    the row-aligned bulk-probe contract of ``src/bloom_filter.hpp:55-58``.
+    arrow_udf: values flatten zero-copy off the Arrow list buffers (the
+    old pandas path looped Python objects per row), one contains_bulk
+    over the whole batch, and the result re-wraps with rebuilt offsets
+    (NULL rows come back as empty lists, as before)."""
+    import pyarrow as pa
+
     name = ship_sketch(df.sparkSession, sketch)
 
-    @pandas_udf("array<boolean>")
-    def _probe(arrs: pd.Series) -> pd.Series:
+    def _probe(keys):
         sk = load_shipped_sketch(name)
-        lengths = np.fromiter(
-            (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=len(arrs)
-        )
-        if lengths.sum() == 0:
-            return pd.Series([[] for _ in range(len(arrs))])
-        flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a) > 0]
-        )
-        hits = sk.contains_bulk(flat)
-        out = np.split(hits, np.cumsum(lengths)[:-1])
-        return pd.Series([h.tolist() for h in out])
+        arrs = keys
+        if isinstance(arrs, pa.ChunkedArray):
+            arrs = arrs.combine_chunks()
+        lens = arrs.value_lengths().to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(np.asarray(lens, dtype=np.float64),
+                             nan=0.0).astype(np.int64)
+        flat = np.asarray(arrs.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        hits = sk.contains_bulk(flat) if flat.size else np.empty(0, bool)
+        offsets = np.zeros(lens.size + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(hits, type=pa.bool_()))
 
-    return df.withColumn(out_col, _probe(F.col(tokens_col)))
+    return df.withColumn(
+        out_col, _scalar_arrow_udf(_probe, "array<boolean>")(F.col(tokens_col)))
 
 
 def probe_keys(df: DataFrame, sketch: Sketch, key_col: str,
@@ -157,12 +196,16 @@ def cms_count_column(df: DataFrame, sketch: Sketch, key_col: str,
     """Count-min point estimates per row (long)."""
     name = ship_sketch(df.sparkSession, sketch)
 
-    @pandas_udf("long")
-    def _query(keys: pd.Series) -> pd.Series:
-        sk = load_shipped_sketch(name)
-        return pd.Series(sk.query_bulk(keys.to_numpy(dtype=np.int64)))
+    import pyarrow as pa
 
-    return df.withColumn(out_col, _query(F.col(key_col)))
+    def _query(keys):
+        sk = load_shipped_sketch(name)
+        return _masked_int64(
+            keys, lambda v: np.asarray(sk.query_bulk(v), dtype=np.int64),
+            pa.int64())
+
+    return df.withColumn(out_col,
+                         _scalar_arrow_udf(_query, "long")(F.col(key_col)))
 
 
 def register_sql_functions(spark, sketch: Sketch,
@@ -191,45 +234,28 @@ def register_sql_functions(spark, sketch: Sketch,
     its validity mask, so keys stay exact at any magnitude and the null
     mask transfers straight to the output."""
     import pyarrow as pa
-    from pyspark.sql.functions import arrow_udf
 
     name = ship_sketch(spark, sketch)
     registered = []
-
-    def _masked(keys: "pa.Array", fn, out_type):
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        mask = None
-        if keys.null_count:
-            mask = ~np.asarray(keys.is_valid().to_numpy(
-                zero_copy_only=False), dtype=bool)
-            keys = keys.fill_null(0)
-        vals = np.asarray(keys.to_numpy(zero_copy_only=False),
-                          dtype=np.int64)
-        return pa.array(np.asarray(fn(vals)), type=out_type, mask=mask)
-
-    # this module has `from __future__ import annotations`, which turns the
-    # pa.Array hints arrow_udf's type inference needs into strings; set the
-    # real objects on __annotations__ before decorating
     if hasattr(sketch, "contains_bulk"):
 
         def _member(keys):
             sk = load_shipped_sketch(name)
-            return _masked(keys, sk.contains_bulk, pa.bool_())
+            return _masked_int64(keys, sk.contains_bulk, pa.bool_())
 
-        _member.__annotations__ = {"keys": pa.Array, "return": pa.Array}
-        spark.udf.register(f"{prefix}_member", arrow_udf(_member, "boolean"))
+        spark.udf.register(f"{prefix}_member",
+                           _scalar_arrow_udf(_member, "boolean"))
         registered.append(f"{prefix}_member")
     if hasattr(sketch, "query_bulk"):
 
         def _count(keys):
             sk = load_shipped_sketch(name)
-            return _masked(
+            return _masked_int64(
                 keys, lambda v: np.asarray(sk.query_bulk(v), dtype=np.int64),
                 pa.int64())
 
-        _count.__annotations__ = {"keys": pa.Array, "return": pa.Array}
-        spark.udf.register(f"{prefix}_count", arrow_udf(_count, "long"))
+        spark.udf.register(f"{prefix}_count",
+                           _scalar_arrow_udf(_count, "long"))
         registered.append(f"{prefix}_count")
     if not registered:
         raise ValueError(
