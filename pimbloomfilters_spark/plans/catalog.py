@@ -1965,6 +1965,7 @@ _register_pipeline_catalog()
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 5
     "doc_perplexity", "exact_substr_spans", "substr_dedup_clean",
+    "substr_dup_clusters",
     # last driver row was round 3 (28)
     "pack_windows_stats", "token_repetition", "pack_bins_bfd",
     "mixture_sample_tokens", "tfidf_top_terms", "pmi_top_bigrams",
@@ -1984,7 +1985,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "asof_purchase_view_salted", "asof_purchase_view",
     "range_join_error_sessions", "bloom_probe_tokens", "bloom_weight_sanity",
     "bloom_semijoin_custkey", "hll_distinct_tokens", "cms_heavy_hitters",
-    "kmer_distinct_hll", "mash_distance",
+    "mash_distance",
 ]
 
 

@@ -508,6 +508,42 @@ FROM agg1 a LEFT JOIN agg2 b USING (doc_id)
 """
 
 
+def q_substr_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr composed with transitive clustering: docs sharing a
+    verbatim >= 15-token span form edges; connected components give the
+    boilerplate FAMILIES (doc—twin—other-doc chains collapse into one
+    group; the dedup policy keeps one representative per component).
+    Spark side = iterative min-label propagation over the span pairs;
+    oracle = recursive-CTE closure over the identical exact pair set."""
+    corpus = _substr_corpus(spark, sf_dir)
+    pairs = (dedup.exact_substr_spans(corpus, k=_SUBSTR_K,
+                                      min_span=_SUBSTR_MIN)
+             .select("doc_a", "doc_b").distinct())
+    return dedup.near_dup_clusters(corpus.select("doc_id"), pairs)
+
+
+def _substr_clusters_oracle() -> str:
+    return _substr_ctes() + """,
+spans AS (
+""" + _substr_span_select() + """
+),
+p AS (SELECT DISTINCT doc_a, doc_b FROM spans),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+        UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  -- NB: named cc, not r — the span CTE chain above already defines r
+  WITH RECURSIVE cc(node, reachable) AS (
+    SELECT doc_id, doc_id FROM all_seqs
+    UNION
+    SELECT cc.node, s.b FROM cc JOIN sym s ON cc.reachable = s.a
+  )
+  SELECT * FROM cc
+)
+SELECT node AS doc_id, CAST(min(reachable) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 def q_embedding_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid/norm stats with contract booleans. Float SUMS
     cannot be oracle-hashed (summation order differs across engines), so
@@ -879,6 +915,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         q_substr_dedup_clean, _substr_clean_oracle(),
         "ExactSubstr removal: cut every doc_b span copy, cleaned arrays "
         "fingerprinted with exact integer checksums"),
+    "substr_dup_clusters": QuerySpec(
+        q_substr_dup_clusters, _substr_clusters_oracle(),
+        "boilerplate families: connected components over verbatim-span "
+        "pairs vs recursive-CTE closure"),
     "dedup_exact_hash": QuerySpec(
         q_dedup_exact_hash, _ORACLE_DEDUP_EXACT,
         "exact dedup shuffling 8-byte xxhash64 keys (the 100-TB shape); "
