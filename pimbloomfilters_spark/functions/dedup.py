@@ -648,12 +648,14 @@ _EMPTY3 = (np.empty(0, np.int64), np.empty(0, np.int64),
            np.empty(0, np.int64))
 
 
-def _flat_window_codes(col, n: int):
+def _flat_window_codes(col, n: int, want_pos: bool = True):
     """(codes, pos_in_doc_1based, row_index) of EVERY valid length-``n``
     token window of an Arrow LIST batch column — the shared flat-scan +
     Horner-KR + boundary-mask core (handles sliced arrays: offsets need
     not start at 0). Both n-gram coders derive from this; the sliced-
-    batch property tests protect exactly this code."""
+    batch property tests protect exactly this code. ``want_pos=False``
+    skips the position gather/materialization for callers that discard
+    it (the distinct-codes hot path)."""
     from .text import _FP_BASE, _FP_MOD
 
     if n < 1:
@@ -675,6 +677,8 @@ def _flat_window_codes(col, n: int):
     pos = np.arange(n_win, dtype=np.int64)
     doc = np.repeat(np.arange(rows, dtype=np.int64), lens)[:n_win]
     valid = pos + n <= offs[1:][doc]
+    if not want_pos:
+        return acc[valid], np.empty(0, np.int64), doc[valid]
     pos_in_doc = pos - offs[:-1][doc] + 1  # 1-based, oracle convention
     return acc[valid], pos_in_doc[valid], doc[valid]
 
@@ -689,7 +693,7 @@ def _batch_distinct_token_ngram_codes(col, n: int):
     SYMMETRIC — any engine computing the identical code sees the
     identical collision — so code-set comparisons stay exact
     cross-engine."""
-    acc, _pos, doc = _flat_window_codes(col, n)
+    acc, _pos, doc = _flat_window_codes(col, n, want_pos=False)
     if acc.size == 0:
         return _EMPTY3
     order = np.lexsort((acc, doc))

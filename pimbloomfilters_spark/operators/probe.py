@@ -124,14 +124,14 @@ def probe_array_column(df: DataFrame, sketch: Sketch, tokens_col: str,
         lens = arrs.value_lengths().to_numpy(zero_copy_only=False)
         lens = np.nan_to_num(np.asarray(lens, dtype=np.float64),
                              nan=0.0).astype(np.int64)
-        flat = np.asarray(arrs.flatten().to_numpy(zero_copy_only=False),
-                          dtype=np.int64)
-        hits = sk.contains_bulk(flat) if flat.size else np.empty(0, bool)
+        # NULL elements inside valid arrays: probing their float64+NaN
+        # round-trip would silently corrupt the whole batch — mask them
+        # out of the probe and emit NULL at those slots instead
+        hits = _masked_int64(arrs.flatten(), sk.contains_bulk, pa.bool_())
         offsets = np.zeros(lens.size + 1, dtype=np.int32)
         np.cumsum(lens, out=offsets[1:])
         return pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
-            pa.array(hits, type=pa.bool_()))
+            pa.array(offsets, type=pa.int32()), hits)
 
     return df.withColumn(
         out_col, _scalar_arrow_udf(_probe, "array<boolean>")(F.col(tokens_col)))
@@ -140,7 +140,10 @@ def probe_array_column(df: DataFrame, sketch: Sketch, tokens_col: str,
 def probe_keys(df: DataFrame, sketch: Sketch, key_col: str,
                out_col: str = "member") -> DataFrame:
     """(key, member) via mapInArrow — the fast path when no other columns
-    need to ride along (no pandas materialization on either side)."""
+    need to ride along (no pandas materialization on either side). NULL
+    keys are dropped (they have no membership; converting a nullable
+    batch through float64 would instead silently corrupt every key in
+    it)."""
     import pyarrow as pa
 
     name = ship_sketch(df.sparkSession, sketch)
@@ -148,8 +151,11 @@ def probe_keys(df: DataFrame, sketch: Sketch, key_col: str,
     def _probe(batches):
         sk = load_shipped_sketch(name)
         for b in batches:
+            col = b.column(0)
+            if col.null_count:
+                col = col.drop_null()
             vals = np.ascontiguousarray(
-                b.column(0).to_numpy(zero_copy_only=False), dtype=np.int64
+                col.to_numpy(zero_copy_only=False), dtype=np.int64
             )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(vals, type=pa.int64()), pa.array(sk.contains_bulk(vals))],
@@ -174,8 +180,11 @@ def probe_count(df: DataFrame, sketch: Sketch, key_col: str) -> tuple[int, int]:
         sk = load_shipped_sketch(name)
         n = hits = 0
         for b in batches:
+            col = b.column(0)
+            if col.null_count:  # NULL keys are not probes; see probe_keys
+                col = col.drop_null()
             vals = np.ascontiguousarray(
-                b.column(0).to_numpy(zero_copy_only=False), dtype=np.int64
+                col.to_numpy(zero_copy_only=False), dtype=np.int64
             )
             n += vals.size
             hits += int(sk.contains_bulk(vals).sum())

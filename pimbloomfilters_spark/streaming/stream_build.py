@@ -924,33 +924,51 @@ def _profile_blob(prof: dict) -> bytes:
     return b"".join(out)
 
 
-def _profile_from_blob(raw: bytes) -> dict:
+def _parse_profile_records(raw: bytes, off: int, n_cols: int,
+                           five_fields: bool) -> dict:
     import json
     import struct
 
-    (head,) = struct.unpack_from("<q", raw, 0)
-    v2 = head == _PROFILE_BLOB_V2
-    if v2:
-        (n_cols,) = struct.unpack_from("<q", raw, 8)
-        off = 16
-    else:   # legacy snapshot (pre-stats format): head IS n_cols
-        n_cols, off = head, 8
     prof = {}
     for _ in range(n_cols):
-        if v2:
+        if five_fields:
             lc, n, nn, lp, ls = struct.unpack_from("<qqqqq", raw, off)
             off += 40
         else:
             lc, n, nn, lp = struct.unpack_from("<qqqq", raw, off)
             ls = 0
             off += 32
+        if not (0 < lc <= 4096) or lp < 0 or ls < 0 \
+                or off + lc + lp + ls > len(raw):
+            raise ValueError("implausible profile record")
         c = raw[off:off + lc].decode(); off += lc
         sk = sketch_from_bytes(raw[off:off + lp]) if lp else None
         off += lp
         st = json.loads(raw[off:off + ls].decode()) if ls else None
         off += ls
         prof[c] = [n, nn, sk, st]
+    if off != len(raw):
+        raise ValueError("trailing bytes in profile snapshot")
     return prof
+
+
+def _profile_from_blob(raw: bytes) -> dict:
+    import struct
+
+    (head,) = struct.unpack_from("<q", raw, 0)
+    if head == _PROFILE_BLOB_V2:
+        (n_cols,) = struct.unpack_from("<q", raw, 8)
+        return _parse_profile_records(raw, 16, n_cols, True)
+    # no magic: head IS n_cols, but TWO headerless layouts shipped — the
+    # interim round-5 one with 5-field records and the original 4-field
+    # one. Records carry their own lengths, so the right layout is the
+    # one that consumes the blob exactly; try the newer first.
+    for five_fields in (True, False):
+        try:
+            return _parse_profile_records(raw, 8, head, five_fields)
+        except Exception:
+            continue
+    raise ValueError("unrecognized profile snapshot format")
 
 
 def profile_stream_query(

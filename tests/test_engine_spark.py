@@ -364,3 +364,34 @@ def test_profile_numeric_stats_exact(spark):
         for f in ("n_rows", "n_nulls", "ndv_est", "min_long", "max_long",
                   "min_double", "max_double", "sum_str", "sumsq_str"):
             assert merged[c][f] == full[c][f], (c, f)
+
+
+def test_probe_paths_null_and_large_key_safety(spark):
+    """probe_keys / probe_count drop NULL keys instead of float64-
+    corrupting the batch; probe_array_column masks NULL elements to NULL
+    output slots; all paths stay exact for |key| > 2^53."""
+    import functools
+
+    from pimbloomfilters_spark.operators import build_sketch
+    from pimbloomfilters_spark.operators.probe import (
+        probe_array_column, probe_count, probe_keys)
+    from pimbloomfilters_spark.sketches import make_sketch
+
+    big = 8888888888888888887  # odd, rounds to a DIFFERENT key in float64
+    bf, _ = build_sketch(spark.createDataFrame([(big,), (5,)], "k long"),
+                         "k", functools.partial(make_sketch, "bloom",
+                                                size2=22, nb_hash=8))
+    probe = spark.createDataFrame(
+        [(big,), (None,), (5,), (big - 64,)], "k long").coalesce(1)
+    rows = {r["k"]: r["member"] for r in probe_keys(probe, bf, "k").collect()}
+    assert rows[big] is True and rows[5] is True     # exact keys found
+    assert None not in rows and len(rows) == 3       # null key dropped
+    n, hits = probe_count(probe, bf, "k")
+    assert n == 3 and hits >= 2
+    arr_df = spark.createDataFrame(
+        [(1, [big, None, 5]), (2, None)], "id long, toks array<long>"
+    ).coalesce(1)
+    got = {r["id"]: r["member"]
+           for r in probe_array_column(arr_df, bf, "toks").collect()}
+    assert got[1][0] is True and got[1][1] is None and got[1][2] is True
+    assert got[2] == []
