@@ -848,7 +848,9 @@ def remove_token_spans(docs: DataFrame, spans: DataFrame,
             out_toks, n_tok, n_rm = [], [], []
             for row_toks, row_spans in zip(dirty.column(1).to_pylist(),
                                            dirty.column(2).to_pylist()):
-                arr = np.asarray(row_toks, dtype=np.int64)
+                # a NULL tokens array can still receive (user-supplied)
+                # spans; treat it as empty rather than crashing the task
+                arr = np.asarray(row_toks or [], dtype=np.int64)
                 mask = np.zeros(arr.size, dtype=bool)
                 for s in row_spans:
                     lo = max(int(s["s"]) - 1, 0)       # starts are 1-based

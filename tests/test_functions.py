@@ -1017,3 +1017,17 @@ def test_remove_token_spans(spark):
     assert got[2]["n_removed"] == 13 and got[2]["n_tok"] == 7
     assert got[3]["tokens"] == [80, 81] and got[3]["n_removed"] == 8
     assert got[4]["tokens"] == [] and got[4]["n_removed"] == 3
+
+
+def test_remove_token_spans_null_tokens_with_spans(spark):
+    """A doc whose tokens array is NULL can still be targeted by
+    (user-supplied) spans — treated as empty, not a task crash."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, [5, 6, 7])], "doc_id long, tokens array<int>")
+    spans = spark.createDataFrame(
+        [(0, 1, 1, 5), (0, 2, 2, 1)],
+        "doc_a long, doc_b long, start_b int, span_len int")
+    got = {r["doc_id"]: (r["tokens"], r["n_tok"], r["n_removed"])
+           for r in dedup.remove_token_spans(docs, spans).collect()}
+    assert got[1] == ([], 0, 0)
+    assert got[2] == ([5, 7], 2, 1)
