@@ -775,6 +775,15 @@ def exact_substr_spans(df: DataFrame, k: int = 13,
     min_span = k if min_span is None else min_span
     if min_span < k:
         raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
+    if max_df is None:
+        import warnings
+        warnings.warn(
+            "exact_substr_spans without max_df reports PAIRWISE spans at "
+            "O(f^2) anchor cost per k-gram repeated in f documents — one "
+            "licence header in 1e5 docs is 1e10 join rows. For corpus-scale "
+            "boilerplate REMOVAL use exact_substr_spans_global (O(f) "
+            "anchors); for targeted pair analysis pass max_df to cap hot "
+            "grams.", stacklevel=2)
     occ = token_ngram_pos_codes(df, k, tokens_col, id_col)
     if max_df is not None:
         keep = (occ.groupBy("code")
@@ -799,6 +808,100 @@ def exact_substr_spans(df: DataFrame, k: int = 13,
                     F.col("_sb").cast("int").alias("start_b"), "span_len"))
 
 
+def _global_dup_positions(df: DataFrame, k: int,
+                          tokens_col: str, id_col: str) -> DataFrame:
+    """(id, pos) of every k-gram occurrence whose KR code was already seen
+    at a strictly earlier (doc, pos) — the cluster-per-code core of
+    corpus-global ExactSubstr. Per code ONE aggregate picks the
+    lowest-(doc, pos) representative; every other occurrence of that code
+    is a duplicate. A code repeated in f documents costs O(f) rows here
+    (vs O(f^2) anchor pairs in the pairwise formulation).
+
+    Ordering of (doc, pos) uses the natural ordering of ``id_col``'s type
+    — cast string ids to long first if numeric order is intended."""
+    occ = token_ngram_pos_codes(df, k, tokens_col, id_col)
+    rep = (occ.groupBy("code")
+           .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                               F.col("pos").alias("p"))).alias("_rep"),
+                F.count("*").alias("_cnt")))
+    return (occ.join(rep, "code")
+            .filter((F.col("_cnt") > 1) &
+                    ((F.col(id_col) != F.col("_rep.d")) |
+                     (F.col("pos") != F.col("_rep.p"))))
+            .select(id_col, "pos"))
+
+
+def exact_substr_spans_global(df: DataFrame, k: int = 13,
+                              min_span: int | None = None,
+                              tokens_col: str = "tokens",
+                              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, start, span_len): maximal token intervals covered by
+    k-grams whose code occurred EARLIER in the corpus — the corpus-global
+    removal form of ExactSubstr dedup (Lee et al. 2022 §4: remove every
+    later occurrence of any duplicated >= k-token run, keeping the first).
+    This is the scale path for corpus boilerplate: a licence header
+    repeated in f = 1e5 documents costs O(f) duplicate-occurrence rows
+    (one aggregate per code picks the first-(doc, pos) representative),
+    never the O(f^2) anchor pairs of the pairwise ``exact_substr_spans``.
+    No reference analogue (the reference has no corpus ops;
+    tests/tests_utils.hpp:13-20 generates items in RAM).
+
+    Method: (1) positional KR codes, one Arrow scan, zero exchanges;
+    (2) per-code aggregate -> (representative, count), join back, keep
+    non-representative occurrences of duplicated codes (one shuffle on
+    code, reused by the join); (3) per-document interval merge: marked
+    position p covers tokens [p, p+k-1]; consecutive marks with gap <= k
+    overlap or touch, so islands break where pos - lag(pos) > k, and each
+    island is exactly the union of its gram intervals — every removed
+    token is covered by some duplicated k-gram. span_len = max(pos) -
+    min(pos) + k. Feed the output directly to ``remove_token_spans``
+    (span_id_col=id_col, start_col="start").
+
+    ``min_span`` (default ``k``) drops merged intervals shorter than the
+    threshold — note it applies to the MERGED interval, so two nearby
+    short duplicated runs can survive a threshold neither meets alone.
+
+    KR collisions are symmetric (both engines code identically), so the
+    result is exactly SQL-oracle-checkable; a 100-TB deployment wanting
+    collision-free removal swaps in the 64-bit coder at the cost of
+    oracle exactness."""
+    from pyspark.sql import Window
+
+    min_span = k if min_span is None else min_span
+    if min_span < k:
+        raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
+    dup = _global_dup_positions(df, k, tokens_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = (dup.withColumn(
+               "_brk",
+               F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
+               .otherwise(0))
+           .withColumn("_g", F.sum("_brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy(id_col, "_g")
+            .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+            .withColumn("span_len",
+                        (F.col("_e") - F.col("_s") + F.lit(k)).cast("int"))
+            .filter(F.col("span_len") >= min_span)
+            .select(id_col, F.col("_s").cast("int").alias("start"),
+                    "span_len"))
+
+
+def exact_substr_dedup(df: DataFrame, k: int = 13,
+                       min_span: int | None = None,
+                       tokens_col: str = "tokens",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, tokens, n_tok, n_removed): corpus-global ExactSubstr
+    dedup end-to-end — find every later occurrence of a duplicated
+    >= k-token run (``exact_substr_spans_global``) and cut those spans
+    out (``remove_token_spans``), keeping each run's first occurrence.
+    The default removal path for corpus-scale boilerplate."""
+    spans = exact_substr_spans_global(df, k, min_span, tokens_col, id_col)
+    return remove_token_spans(df, spans, id_col=id_col,
+                              tokens_col=tokens_col, span_id_col=id_col,
+                              start_col="start", len_col="span_len")
+
+
 def remove_token_spans(docs: DataFrame, spans: DataFrame,
                        id_col: str = "doc_id", tokens_col: str = "tokens",
                        span_id_col: str = "doc_b",
@@ -814,10 +917,14 @@ def remove_token_spans(docs: DataFrame, spans: DataFrame,
 
     Scale shape: spans aggregate per doc into an interval list (a tiny
     shuffle of span ROWS — never tokens), LEFT-join onto the corpus
-    keyed by doc id, then ONE Arrow pass applies the masks in numpy. The
-    corpus token arrays are never exploded or shuffled; per-row Python
-    touches only docs that HAVE spans, proportional to span count, not
-    token count."""
+    keyed by doc id, then ONE Arrow pass applies the masks: both the
+    clean pass-through AND the dirty cut are fully vectorized (the dirty
+    path flattens token arrays via Arrow list offsets, builds the union
+    keep-mask with +1/-1 deltas at span boundaries + cumsum, and
+    re-slices with ``ListArray.from_arrays``) — zero per-row Python even
+    when every document carries spans, the corpus-boilerplate case.
+    NULL ``tokens`` rows pass through as NULL with n_tok = 0 and
+    n_removed = 0, with or without spans."""
     sp = (spans.groupBy(F.col(span_id_col).alias(id_col))
           .agg(F.collect_list(
               F.struct(F.col(start_col).alias("s"),
@@ -828,6 +935,8 @@ def remove_token_spans(docs: DataFrame, spans: DataFrame,
               .join(sp, id_col, "left"))
 
     def _cut(batches):
+        import pyarrow.compute as pc
+
         for b in batches:
             has = np.zeros(b.num_rows, dtype=bool)
             sc = b.column(2)
@@ -839,32 +948,61 @@ def remove_token_spans(docs: DataFrame, spans: DataFrame,
                 toks = clean.column(1)
                 yield pa.RecordBatch.from_arrays(
                     [clean.column(0), toks,
-                     toks.value_lengths().cast(pa.int32()),
+                     pc.fill_null(  # NULL tokens -> n_tok 0, not NULL
+                         toks.value_lengths().cast(pa.int32()), 0),
                      pa.array(np.zeros(clean.num_rows, dtype=np.int32))],
                     names=[id_col, tokens_col, "n_tok", "n_removed"])
             dirty = b.filter(pa.array(has))
             if not dirty.num_rows:
                 continue
-            out_toks, n_tok, n_rm = [], [], []
-            for row_toks, row_spans in zip(dirty.column(1).to_pylist(),
-                                           dirty.column(2).to_pylist()):
-                # a NULL tokens array can still receive (user-supplied)
-                # spans; treat it as empty rather than crashing the task
-                arr = np.asarray(row_toks or [], dtype=np.int64)
-                mask = np.zeros(arr.size, dtype=bool)
-                for s in row_spans:
-                    lo = max(int(s["s"]) - 1, 0)       # starts are 1-based
-                    hi = min(lo + int(s["l"]), arr.size)
-                    mask[lo:hi] = True
-                kept = arr[~mask]
-                out_toks.append(kept.tolist())
-                n_tok.append(int(kept.size))
-                n_rm.append(int(mask.sum()))
+            # vectorized cut: flatten every dirty row's tokens into one
+            # value buffer (NULL rows contribute 0 elements), mark span
+            # coverage with +1/-1 deltas at flattened boundaries, cumsum
+            # to a union keep-mask, re-slice via list offsets
+            dt = dirty.column(1)
+            lens = pc.fill_null(dt.value_lengths(), 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            total = int(starts[-1])
+            vals = pc.list_flatten(dt).to_numpy(zero_copy_only=False)
+            sp = dirty.column(2)
+            spf = pc.list_flatten(sp)
+            s_arr = spf.field("s").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            l_arr = spf.field("l").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            row = np.repeat(
+                np.arange(dirty.num_rows),
+                pc.fill_null(sp.value_lengths(), 0).to_numpy(
+                    zero_copy_only=False))
+            rl = lens[row]
+            lo = np.clip(s_arr - 1, 0, rl)             # starts are 1-based
+            hi = np.clip(lo + np.maximum(l_arr, 0), 0, rl)
+            delta = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(delta, starts[row] + lo, 1)
+            np.add.at(delta, starts[row] + hi, -1)
+            keep = np.cumsum(delta[:-1]) == 0
+            cs = np.concatenate(([0], np.cumsum(keep)))
+            kept_per_row = cs[starts[1:]] - cs[starts[:-1]]
+            offs = np.concatenate(([0], np.cumsum(kept_per_row)))
+            null_mask = None
+            if dt.null_count:  # NULL tokens stay NULL (0-length slot)
+                null_mask = pa.array(~np.asarray(
+                    dt.is_valid().to_numpy(zero_copy_only=False),
+                    dtype=bool))
+            kept_vals = pa.array(vals[keep], type=dt.type.value_type)
+            if pa.types.is_large_list(dt.type):
+                out_toks = pa.LargeListArray.from_arrays(
+                    pa.array(offs, type=pa.int64()), kept_vals,
+                    mask=null_mask)
+            else:
+                out_toks = pa.ListArray.from_arrays(
+                    pa.array(offs.astype(np.int32)), kept_vals,
+                    mask=null_mask)
             yield pa.RecordBatch.from_arrays(
-                [dirty.column(0),
-                 pa.array(out_toks, type=dirty.column(1).type),
-                 pa.array(n_tok, type=pa.int32()),
-                 pa.array(n_rm, type=pa.int32())],
+                [dirty.column(0), out_toks,
+                 pa.array(kept_per_row.astype(np.int32)),
+                 pa.array((lens - kept_per_row).astype(np.int32))],
                 names=[id_col, tokens_col, "n_tok", "n_removed"])
 
     return joined.mapInArrow(

@@ -1020,14 +1020,83 @@ def test_remove_token_spans(spark):
 
 
 def test_remove_token_spans_null_tokens_with_spans(spark):
-    """A doc whose tokens array is NULL can still be targeted by
-    (user-supplied) spans — treated as empty, not a task crash."""
+    """NULL tokens rows are consistent on BOTH paths: tokens stay NULL,
+    n_tok = 0, n_removed = 0 — whether or not spans target the doc."""
     docs = spark.createDataFrame(
-        [(1, None), (2, [5, 6, 7])], "doc_id long, tokens array<int>")
+        [(1, None), (2, [5, 6, 7]), (3, None)],
+        "doc_id long, tokens array<int>")
     spans = spark.createDataFrame(
         [(0, 1, 1, 5), (0, 2, 2, 1)],
         "doc_a long, doc_b long, start_b int, span_len int")
     got = {r["doc_id"]: (r["tokens"], r["n_tok"], r["n_removed"])
            for r in dedup.remove_token_spans(docs, spans).collect()}
-    assert got[1] == ([], 0, 0)
+    assert got[1] == (None, 0, 0)   # NULL + spans: nothing to remove
     assert got[2] == ([5, 7], 2, 1)
+    assert got[3] == (None, 0, 0)   # NULL, no spans: same contract
+
+
+def test_exact_substr_spans_global_planted(spark):
+    """Corpus-global ExactSubstr: the FIRST (doc, pos) occurrence of each
+    duplicated run is kept, every later occurrence is spanned; disjoint
+    repeats stay separate islands; within-doc repeats mark only the later
+    copy; sub-threshold islands filtered."""
+    base = list(range(100, 200))
+    boiler = list(range(500, 530))         # 30-token boilerplate
+    X = list(range(700, 713))              # 13-token within-doc repeat
+    filler = lambda s, n: [1000 + s * 97 + i for i in range(n)]
+    docs = [
+        (1, base[:20] + boiler + base[20:40]),       # first boiler copy
+        (2, filler(1, 5) + boiler + filler(2, 25)),  # later copy -> cut
+        (3, base[:15] + filler(3, 7) + base[25:40] + filler(4, 5)),
+        (4, filler(5, 9) + base[50:60] + filler(6, 11)),
+        (6, filler(10, 4) + X + filler(11, 6) + X),  # X repeats in-doc
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, tokens array<int>")
+    got = {(r["doc_id"], r["start"], r["span_len"]) for r in
+           dedup.exact_substr_spans_global(df, k=8, min_span=12).collect()}
+    assert got == {
+        (2, 6, 30),    # whole boilerplate body, first copy (doc 1) kept
+        (3, 1, 15),    # base[:15], doc 1's copy kept
+        (3, 23, 15),   # base[25:40], separate island (gap > k)
+        (6, 24, 13),   # second X copy; first (same doc, pos 5) kept
+    }                  # doc 4's 10-token repeat < min_span: filtered
+
+
+def test_exact_substr_global_anchor_growth_linear(spark):
+    """The scale contract: a k-gram repeated in f documents costs O(f)
+    rows in the global formulation (f-1 spans, one per later copy) where
+    the pairwise formulation emits O(f^2) anchor pairs."""
+    boiler = list(range(900, 908))         # exactly one 8-gram
+    filler = lambda s, n: [5000 + s * 131 + i for i in range(n)]
+    for f in (6, 12):
+        df = spark.createDataFrame(
+            [(i, filler(i, 5) + boiler) for i in range(1, f + 1)],
+            "doc_id long, tokens array<int>")
+        g = dedup.exact_substr_spans_global(df, k=8).collect()
+        assert len(g) == f - 1                       # linear
+        assert all(r["start"] == 6 and r["span_len"] == 8 for r in g)
+        assert {r["doc_id"] for r in g} == set(range(2, f + 1))
+        p = dedup.exact_substr_spans(df, k=8, max_df=f).count()
+        assert p == f * (f - 1) // 2                 # quadratic
+
+
+def test_exact_substr_dedup_end_to_end(spark):
+    """Composed global dedup: later copies of duplicated runs are removed
+    from the token stream, first copies and unique text survive."""
+    boiler = list(range(500, 530))
+    filler = lambda s, n: [1000 + s * 97 + i for i in range(n)]
+    docs = [(1, filler(0, 10) + boiler),
+            (2, filler(1, 5) + boiler + filler(2, 7)),
+            (3, boiler[:20] + filler(3, 9))]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r for r in
+           dedup.exact_substr_dedup(df, k=8).collect()}
+    assert got[1]["tokens"] == filler(0, 10) + boiler   # first copy kept
+    assert got[1]["n_removed"] == 0
+    assert got[2]["tokens"] == filler(1, 5) + filler(2, 7)
+    assert got[2]["n_removed"] == 30
+    assert got[3]["tokens"] == filler(3, 9)             # prefix dup too
+    assert got[3]["n_removed"] == 20
+    assert all(r["n_tok"] == len(r["tokens"]) for r in got.values())
