@@ -818,13 +818,20 @@ def _global_dup_positions(df: DataFrame, k: int,
     (vs O(f^2) anchor pairs in the pairwise formulation).
 
     Ordering of (doc, pos) uses the natural ordering of ``id_col``'s type
-    — cast string ids to long first if numeric order is intended."""
+    — cast string ids to long first if numeric order is intended.
+
+    Shape: representative + count come from window aggregates over the
+    code partition, so the occurrence stream is coded ONCE (one corpus
+    scan) and shuffled ONCE (on code) — no groupBy + self-join re-scan.
+    WindowExec buffers one code group at a time: a code in f documents
+    is an f-row buffer, linear."""
+    from pyspark.sql import Window
+
     occ = token_ngram_pos_codes(df, k, tokens_col, id_col)
-    rep = (occ.groupBy("code")
-           .agg(F.min(F.struct(F.col(id_col).alias("d"),
-                               F.col("pos").alias("p"))).alias("_rep"),
-                F.count("*").alias("_cnt")))
-    return (occ.join(rep, "code")
+    wc = Window.partitionBy("code")
+    me = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    return (occ.withColumn("_rep", F.min(me).over(wc))
+            .withColumn("_cnt", F.count(F.lit(1)).over(wc))
             .filter((F.col("_cnt") > 1) &
                     ((F.col(id_col) != F.col("_rep.d")) |
                      (F.col("pos") != F.col("_rep.p"))))

@@ -1963,29 +1963,27 @@ _register_pipeline_catalog()
 # core sketch gates) — 50 exactly; the 30 displaced round-4-green gates
 # rotate back next round.
 _DRIVER_WINDOW_PRIORITY = [
-    # new in round 5
-    "doc_perplexity", "exact_substr_spans", "substr_dedup_clean",
-    "substr_dup_clusters",
-    # last driver row was round 3 (28)
-    "pack_windows_stats", "token_repetition", "pack_bins_bfd",
-    "mixture_sample_tokens", "tfidf_top_terms", "pmi_top_bigrams",
-    "bm25_rank", "kll_ntok_quantiles", "tdigest_ntok_quantiles",
-    "kll_quantiles_by_source", "build_invariance", "checkpoint_resume",
-    "bloom_runtime_filter_join", "bloom_probe_distributed", "theta_set_ops",
-    "multimodal_wav_decode", "lang_id", "quality_counts", "token_stats",
-    "doc_fingerprint_md5", "doc_rolling_fingerprints",
-    "doc_winnow_fingerprints", "decontaminate", "dedup_exact",
-    "ngram_jaccard_pairs", "minhash_near_dup", "simhash_near_dup",
-    "embedding_near_dup",
-    # round-4-covered repeats: changed this round (profile schema/oracle,
-    # vocab_table dense ids, LM oracle refactor) or core sketch surface
-    "profile_table", "vocab_coverage", "lm_bigram_logprob",
-    "curation_report", "near_dup_clusters", "token_ngram_decontaminate",
-    "dedup_exact_hash", "embedding_source_stats", "cosine_topk_blocked",
-    "asof_purchase_view_salted", "asof_purchase_view",
-    "range_join_error_sessions", "bloom_probe_tokens", "bloom_weight_sanity",
-    "bloom_semijoin_custkey", "hll_distinct_tokens", "cms_heavy_hitters",
-    "mash_distance",
+    # new in round 6
+    "substr_global_spans", "substr_dedup_global",
+    # last driver row was round 4 (the 32 displaced by the round-5 window)
+    "token_table_exploded", "hll_distinct_docs", "mg_heavy_hitters",
+    "cms_bigram_heavy_hitters", "countsketch_heavy_hitters", "f2_moment",
+    "counting_bloom_delete", "pipeline_tokens_end_to_end", "source_token_kl",
+    "quality_filter_panel", "dna_kmer_stats", "kmer_bloom_screen",
+    "dna_kmer_canonical", "kmer_distinct_hll", "mash_genome_similarity",
+    "theta_source_similarity", "token_minhash_near_dup", "pack_windows",
+    "cosine_topk", "ann_lsh_topk", "ivf_topk", "multimodal_decode_stats",
+    "multimodal_ppm_decode", "pipeline_end_to_end", "pricing_summary",
+    "top_customers", "user_sessions", "weighted_sample",
+    "events_hourly_counts", "events_user_distinct", "uniform_sample",
+    "stratified_sample",
+    # touched this round (remove_token_spans vectorization, substr family)
+    "substr_dedup_clean", "exact_substr_spans", "substr_dup_clusters",
+    # core sketch surface repeats to fill the ~50 window
+    "bloom_probe_tokens", "bloom_weight_sanity", "bloom_semijoin_custkey",
+    "bloom_probe_distributed", "build_invariance", "checkpoint_resume",
+    "hll_distinct_tokens", "cms_heavy_hitters", "kll_ntok_quantiles",
+    "profile_table", "dedup_exact", "minhash_near_dup", "decontaminate",
 ]
 
 

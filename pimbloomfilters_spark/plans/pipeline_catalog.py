@@ -391,9 +391,11 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     k=_SUBSTR_K, min_span=_SUBSTR_MIN)
 
 
-# span-oracle pieces shared by the span gate and the removal gate —
+# span-oracle pieces shared by the span gates and the removal gates —
 # composed from constants, never spliced out of a finished oracle string
-def _substr_ctes() -> str:
+def _substr_occ_ctes() -> str:
+    """CTE chain through ``occ``: twin-planted corpus + positional KR
+    codes — the shared front of the pairwise AND global span oracles."""
     from ..functions.text import fp_coefficients
     from ..sources.tables import TOKENS_ORACLE_CTE
 
@@ -418,7 +420,11 @@ occ AS (
   FROM all_seqs,
        LATERAL (SELECT unnest(generate_series(1, n_tok - {k - 1})) AS p) g
   WHERE n_tok >= {k}
-),
+)"""
+
+
+def _substr_ctes() -> str:
+    return _substr_occ_ctes() + """,
 m AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.pos AS pos_a, b.pos AS pos_b
@@ -429,6 +435,43 @@ r AS (
          pos_a - row_number() OVER (
              PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS isl
   FROM m
+)"""
+
+
+def _substr_global_ctes() -> str:
+    """CTE chain through ``gspans``: the corpus-global (cluster-per-code)
+    span table — per code ONE aggregate picks the first-(doc, pos)
+    representative; every other occurrence of a duplicated code is
+    marked; per-doc interval merge with gap > k breaking islands. Mirrors
+    ``dedup.exact_substr_spans_global`` exactly (O(f) duplicate rows per
+    code, never pairwise anchors)."""
+    k = _SUBSTR_K
+    return _substr_occ_ctes() + f""",
+rep AS (
+  SELECT code, count(*) AS cnt, min(doc_id * 4294967296 + pos) AS rk
+  FROM occ GROUP BY code
+),
+dup AS (
+  SELECT o.doc_id, o.pos
+  FROM occ o JOIN rep USING (code)
+  WHERE rep.cnt > 1 AND o.doc_id * 4294967296 + o.pos <> rep.rk
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              > {k} THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged
+),
+gspans AS (
+  SELECT doc_id, CAST(min(pos) AS INT) AS start,
+         CAST(max(pos) - min(pos) + {k} AS INT) AS span_len
+  FROM isl GROUP BY doc_id, grp
+  HAVING max(pos) - min(pos) + {k} >= {_SUBSTR_MIN}
 )"""
 
 
@@ -468,11 +511,11 @@ def q_substr_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_sum.alias("tok_sum"), pos_sum.alias("pos_sum"))
 
 
-def _substr_clean_oracle() -> str:
-    return _substr_ctes() + """,
-spans AS (
-""" + _substr_span_select() + """
-),
+def _substr_removal_tail(sdoc: str, sstart: str) -> str:
+    """Shared back half of the removal oracles: mark every token position
+    covered by a ``spans`` row (span doc/start columns parameterized),
+    then exact integer checksums over the kept sequence."""
+    return f""",
 posns AS (
   SELECT a.doc_id, g.p AS pos, a.toks[g.p] AS token_id
   FROM all_seqs a,
@@ -480,9 +523,9 @@ posns AS (
 ),
 marked AS (
   SELECT p.doc_id, p.pos, p.token_id,
-         EXISTS (SELECT 1 FROM spans s WHERE s.doc_b = p.doc_id
-                 AND p.pos >= s.start_b
-                 AND p.pos <= s.start_b + s.span_len - 1) AS rm
+         EXISTS (SELECT 1 FROM spans s WHERE s.{sdoc} = p.doc_id
+                 AND p.pos >= s.{sstart}
+                 AND p.pos <= s.{sstart} + s.span_len - 1) AS rm
   FROM posns p
 ),
 agg1 AS (
@@ -506,6 +549,57 @@ SELECT a.doc_id, a.n_tok, a.n_removed,
        CAST(coalesce(b.pos_sum, 0) AS BIGINT) AS pos_sum
 FROM agg1 a LEFT JOIN agg2 b USING (doc_id)
 """
+
+
+def _substr_clean_oracle() -> str:
+    return (_substr_ctes() + """,
+spans AS (
+""" + _substr_span_select() + """
+)""" + _substr_removal_tail("doc_b", "start_b"))
+
+
+def q_substr_global_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global ExactSubstr spans (the 100-TB removal path): per
+    k-gram code ONE aggregate picks the first-(doc, pos) representative
+    and every later occurrence is spanned — O(f) rows for a code in f
+    docs, never the pairwise O(f^2) anchors. On the twin-planted corpus
+    each twin's whole 18-token body is spanned (its original, lower-id
+    doc holds the representative copy)."""
+    return dedup.exact_substr_spans_global(
+        _substr_corpus(spark, sf_dir), k=_SUBSTR_K, min_span=_SUBSTR_MIN)
+
+
+def _substr_global_oracle() -> str:
+    return (_substr_global_ctes() +
+            "\nSELECT doc_id, start, span_len FROM gspans\n")
+
+
+def q_substr_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe removal pipeline end-to-end: corpus-global spans ->
+    remove_token_spans (vectorized Arrow cut), cleaned arrays
+    fingerprinted with exact integer checksums — the composition
+    ``dedup.exact_substr_dedup`` ships as the default boilerplate-removal
+    path."""
+    corpus = _substr_corpus(spark, sf_dir)
+    cleaned = dedup.exact_substr_dedup(corpus, k=_SUBSTR_K,
+                                       min_span=_SUBSTR_MIN)
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"))
+    pos_sum = F.when(F.size("tokens") > 0, F.aggregate(
+        F.zip_with("tokens", F.sequence(F.lit(1), F.size("tokens")),
+                   lambda t, i: t.cast("long") * i.cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )).otherwise(F.lit(0).cast("long"))
+    return cleaned.select(
+        "doc_id", "n_tok", "n_removed",
+        tok_sum.alias("tok_sum"), pos_sum.alias("pos_sum"))
+
+
+def _substr_global_dedup_oracle() -> str:
+    return (_substr_global_ctes() + """,
+spans AS (SELECT * FROM gspans)""" +
+            _substr_removal_tail("doc_id", "start"))
 
 
 def q_substr_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,6 +1013,15 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         q_substr_dup_clusters, _substr_clusters_oracle(),
         "boilerplate families: connected components over verbatim-span "
         "pairs vs recursive-CTE closure"),
+    "substr_global_spans": QuerySpec(
+        q_substr_global_spans, _substr_global_oracle(),
+        "corpus-global ExactSubstr spans (cluster-per-code, O(f) not "
+        "O(f^2) anchors): later occurrences of duplicated >= k-token "
+        "runs, first copy kept"),
+    "substr_dedup_global": QuerySpec(
+        q_substr_dedup_global, _substr_global_dedup_oracle(),
+        "global ExactSubstr removal end-to-end: vectorized Arrow span "
+        "cut, cleaned arrays checksummed"),
     "dedup_exact_hash": QuerySpec(
         q_dedup_exact_hash, _ORACLE_DEDUP_EXACT,
         "exact dedup shuffling 8-byte xxhash64 keys (the 100-TB shape); "

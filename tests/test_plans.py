@@ -439,6 +439,27 @@ def test_vocab_table_dense_ids_match_global_window(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_exact_substr_global_plan_shape(spark):
+    """The corpus-global ExactSubstr path must code the corpus ONCE (one
+    MapInArrow subtree — representative + count are window aggregates
+    over the code partition, not a groupBy + self-join that re-scans) and
+    shuffle exactly twice: once on code, once on doc for the island
+    merge. No join operator, no single-partition exchange, no
+    unpartitioned window."""
+    import re
+
+    from pimbloomfilters_spark.functions.dedup import exact_substr_spans_global
+
+    df = spark.createDataFrame(
+        [(1, list(range(40))), (2, list(range(10, 30)))],
+        "doc_id long, tokens array<int>")
+    plan = _plan(exact_substr_spans_global(df, k=8))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert len(re.findall(r"MapInArrow", plan)) == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_exact_substr_spans_plan_shape(spark):
     """ExactSubstr compiles to exactly 3 hash exchanges — the two code
     self-join sides + ONE (doc_a, doc_b, diag) exchange that both the
