@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from pimbloomfilters_spark.functions.dedup import (  # noqa: E402
-    exact_substr_spans, remove_token_spans, token_minhash_near_dup_pairs,
+    exact_substr_spans_global, remove_token_spans, token_minhash_near_dup_pairs,
     token_ngram_decontaminate)
 from pimbloomfilters_spark.functions.packing import packing_stats  # noqa: E402
 from pimbloomfilters_spark.functions.text import token_repetition_stats  # noqa: E402
@@ -74,14 +74,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # dirty stays cached: every later stage re-evaluates `kept`, which
     # reads it; the blob is a handful of doc ids
 
-    # cross-document substring dedup (ExactSubstr): find verbatim token
-    # spans >= 15 repeated across docs, cut every copy but the lowest-id
-    # one — catches boilerplate/templates doc-level dedup misses
-    spans = exact_substr_spans(kept, k=13, min_span=15)
-    # cache: the span self-join + removal would otherwise re-execute for
+    # cross-document substring dedup (ExactSubstr): every later occurrence
+    # of a duplicated >= 15-token run is cut, the first copy kept — the
+    # CORPUS-GLOBAL cluster-per-code mode (O(f) per repeated run, the
+    # scale-safe path; the pairwise exact_substr_spans reporter is for
+    # targeted pair analysis only)
+    spans = exact_substr_spans_global(kept, k=13, min_span=15)
+    # cache: the span window + removal would otherwise re-execute for
     # every downstream action that re-evaluates `kept` (same hazard the
     # `dirty` cache above documents)
-    cleaned = remove_token_spans(kept.select("doc_id", "tokens"), spans).cache()
+    cleaned = remove_token_spans(
+        kept.select("doc_id", "tokens"), spans, span_id_col="doc_id",
+        start_col="start").cache()
     report["substr_spans_found"] = spans.count()
     report["substr_tokens_removed"] = cleaned.agg(
         F.sum("n_removed")).collect()[0][0]

@@ -80,7 +80,8 @@ def _s64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
-def xxh64_sql(col: str, seed: int = DEFAULT_SEED) -> str:
+def xxh64_sql(col: str, seed: int = DEFAULT_SEED, *,
+              check_ansi: bool = True) -> str:
     """Spark SQL expression string computing ``xxh64_u64(col, seed)`` for a
     LONG column — XXH64 of the value's 8-byte little-endian encoding, with
     an ARBITRARY seed (the builtin ``xxhash64(col)`` is fixed at seed 42).
@@ -90,10 +91,29 @@ def xxh64_sql(col: str, seed: int = DEFAULT_SEED) -> str:
 
     Requires non-ANSI arithmetic (``spark.sql.ansi.enabled=false`` while
     the plan is analyzed): the multiply-wrapping steps are intentional
-    mod-2^64 overflow, which ANSI mode turns into errors. Java's signed
-    long +, * and ^ wrap identically to uint64 arithmetic; logical right
-    shifts use shiftrightunsigned.
+    mod-2^64 overflow, which ANSI mode (the Spark 4.x default) turns into
+    runtime errors. Java's signed long +, * and ^ wrap identically to
+    uint64 arithmetic; logical right shifts use shiftrightunsigned.
+
+    To fail fast instead of erroring mid-job, construction checks the
+    ACTIVE session's ``spark.sql.ansi.enabled`` and raises a RuntimeError
+    with the fix if it is on (pass ``check_ansi=False`` to skip, e.g.
+    when building the expression before the target session exists — the
+    requirement then rests on the caller).
     """
+    if check_ansi:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if (active is not None and
+                str(active.conf.get("spark.sql.ansi.enabled",
+                                    "true")).lower() == "true"):
+            raise RuntimeError(
+                "xxh64_sql emits wraparound long arithmetic, which ANSI "
+                "mode turns into runtime overflow errors. Set "
+                "spark.conf.set('spark.sql.ansi.enabled', False) while "
+                "this expression is planned (or pass check_ansi=False "
+                "and manage the conf yourself).")
     acc0 = _s64(seed + int(_P5) + 8)
     k1 = f"({col} * {_s64(int(_P2))}L)"
     k1 = f"((({k1} << 31) | shiftrightunsigned({k1}, 33)) * {_s64(int(_P1))}L)"

@@ -485,6 +485,53 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifies the STREAMING profile fold against the batch
+    profiler's SQL contract: the customer table is replayed as two
+    micro-batches through ``profile_stream_query`` (per-batch profiles
+    folded — counts add, HLLs merge deterministically, exact sums add),
+    and the folded result is shaped exactly like the ``profile_table``
+    gate — so the oracle IS the batch profile SQL. The pytest suite
+    asserts fold == full-scan bit-exact; this puts the contract behind a
+    driver row."""
+    import tempfile
+    import uuid
+
+    from ..operators.profile import profile_table  # noqa: F401 (contract twin)
+    from ..streaming import profile_stream_query, stream_profile_rows
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="pbf_profgate_in_")
+    cust.filter(F.col("c_custkey") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(base)
+    cust.filter(F.col("c_custkey") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(base)
+    ckpt = tempfile.mkdtemp(prefix="pbf_profgate_ck_")
+    name = "profgate_" + uuid.uuid4().hex[:10]
+    stream = (spark.readStream.schema(cust.schema)
+              .option("maxFilesPerTrigger", 1).parquet(base))
+    q = profile_stream_query(stream, name, ckpt)
+    q.awaitTermination(300)
+
+    cols = cust.columns
+    ex_row = cust.select(
+        *[F.countDistinct(c).alias(c) for c in cols]).collect()[0]
+    ex = spark.createDataFrame([(c, int(ex_row[c])) for c in cols],
+                               "col_name string, ndv_exact long")
+    rse = 1.04 / (1 << 14) ** 0.5
+    prof = (stream_profile_rows(spark, name)
+            .withColumnRenamed("column", "col_name"))
+    return (
+        prof.join(ex, "col_name")
+        .select(
+            "col_name", "n_rows", "n_nulls", "ndv_exact",
+            (F.abs(F.col("ndv_est") - F.col("ndv_exact"))
+             <= 4 * rse * F.col("ndv_exact") + F.lit(3.0)).alias("ndv_ok"),
+            "min_long", "max_long", "min_double", "max_double",
+            "sum_str", "sumsq_str")
+    )
+
+
 def _profile_oracle() -> str:
     typed = {"c_custkey": "i", "c_name": None, "c_nationkey": "i",
              "c_acctbal": "f", "c_mktsegment": None}
@@ -1667,6 +1714,11 @@ CATALOG: dict[str, QuerySpec] = {
         "one-scan ANALYZE-style table profile: exact row/null counts, "
         "HLL ndv within bound per column",
     ),
+    "profile_stream_parity": QuerySpec(
+        q_profile_stream_parity, _profile_oracle(),
+        "STREAMING profile fold over a 2-micro-batch replay == the batch "
+        "profile SQL (same oracle as profile_table)",
+    ),
     "lm_bigram_logprob": QuerySpec(
         q_lm_bigram_logprob, _ORACLE_LM,
         "add-one bigram LM log-prob per token position (perplexity-filter "
@@ -1965,6 +2017,7 @@ _register_pipeline_catalog()
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 6
     "substr_global_spans", "substr_dedup_global",
+    "session_stream_parity", "profile_stream_parity",
     # last driver row was round 4 (the 32 displaced by the round-5 window)
     "token_table_exploded", "hll_distinct_docs", "mg_heavy_hitters",
     "cms_bigram_heavy_hitters", "countsketch_heavy_hitters", "f2_moment",

@@ -151,6 +151,49 @@ FROM per_sess GROUP BY user_id
 """
 
 
+def q_session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifies the STREAMING sessionizer against the batch SQL
+    contract: the events table is replayed as a 2-micro-batch file stream
+    through ``session_stream`` (per-user GroupState, watermark-final
+    emission), a far-future sentinel event advances the watermark past
+    every real session, and the closed sessions aggregate to exactly the
+    ``user_sessions`` shape — so the oracle IS the batch sessionization
+    SQL. The pytest parity suite asserts bit-exact equality per session;
+    this gate puts the same contract behind a driver row."""
+    import tempfile
+    import uuid
+
+    from ..streaming import session_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    base = tempfile.mkdtemp(prefix="pbf_sessgate_")
+    # two files -> two micro-batches; the sentinel (user -1, far future)
+    # rides in the second so the final watermark closes every session
+    ev.coalesce(1).write.mode("append").parquet(base)
+    spark.createDataFrame([(-1,)], "user_id long").select(
+        "user_id",
+        (F.lit(max_ts).cast("timestamp") +
+         F.expr("INTERVAL 30 DAYS")).alias("ts")
+    ).coalesce(1).write.mode("append").parquet(base)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(base))
+    out = session_stream(stream, "ts", "user_id", gap="30 minutes",
+                         watermark="1 minute")
+    qname = "sessgate_" + uuid.uuid4().hex[:10]
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(qname).filter(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.max("n_events").alias("max_session_events"),
+                 F.sum("n_events").alias("n_events")))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus sample: 50 docs drawn without replacement with
     inclusion probability increasing in word count (A-ES exponential race)."""
@@ -289,6 +332,10 @@ EVENTS_CATALOG: dict[str, QuerySpec] = {
     "user_sessions": QuerySpec(
         q_user_sessions, _ORACLE_SESSIONS,
         "gap-based sessionization: per-user session count + largest session"),
+    "session_stream_parity": QuerySpec(
+        q_session_stream_parity, _ORACLE_SESSIONS,
+        "STREAMING sessionizer replayed over the events table == the "
+        "batch sessionization SQL (same oracle as user_sessions)"),
     "weighted_sample": QuerySpec(
         q_weighted_sample, _ORACLE_WEIGHTED,
         "deterministic weight-proportional sample (Efraimidis-Spirakis)"),

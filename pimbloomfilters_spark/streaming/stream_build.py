@@ -971,6 +971,24 @@ def _profile_from_blob(raw: bytes) -> dict:
     raise ValueError("unrecognized profile snapshot format")
 
 
+def stream_profile_rows(spark, name: str) -> DataFrame:
+    """The running stream profile as a DataFrame in the exact
+    ``profile_table`` schema (column, n_rows, n_nulls, ndv_est, min_long,
+    max_long, min_double, max_double, sum_str, sumsq_str) — the rows a
+    batch profile over everything folded so far would produce (counts
+    add, HLL merges are deterministic, min/max and exact integer sums
+    merge bit-exactly). Raises KeyError for an unknown profile name."""
+    from ..operators.profile import _PROFILE_SCHEMA, _agg_to_rows
+
+    with _PROFILE_LOCK:
+        prof = _PROFILES.get(name)
+        rows = None if prof is None else _agg_to_rows(
+            {c: tuple(v) for c, v in prof.items()}, False)
+    if rows is None:
+        raise KeyError(f"no stream profile named {name!r}")
+    return spark.createDataFrame(rows, _PROFILE_SCHEMA)
+
+
 def profile_stream_query(
     stream_df: DataFrame,
     name: str,

@@ -67,3 +67,21 @@ def test_xxh64_sql_matches_numpy_at_arbitrary_seeds(spark):
             assert (got == expect).all(), seed
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_xxh64_sql_refuses_ansi_session(spark):
+    """Constructing the wraparound-arithmetic expression in an ANSI
+    session must fail fast at build time with the fix in the message —
+    not as a runtime overflow mid-job. check_ansi=False opts out."""
+    from pimbloomfilters_spark.hashing import xxh64_sql
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", True)
+    try:
+        with pytest.raises(RuntimeError, match="ansi"):
+            xxh64_sql("k", 7)
+        assert isinstance(xxh64_sql("k", 7, check_ansi=False), str)
+        spark.conf.set("spark.sql.ansi.enabled", False)
+        assert isinstance(xxh64_sql("k", 7), str)  # non-ANSI: fine
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
