@@ -173,19 +173,32 @@ def run_bench() -> dict:
 
     neg = np.arange(2_000_000_000, 2_000_500_000, dtype=np.int64)
     fpr_sweep = []
-    for size2, n, k, blocked in [
-        (22, 100_000, 8, True), (22, 400_000, 8, True), (24, 400_000, 8, True),
-        (24, 1_600_000, 8, True), (22, 400_000, 4, True), (22, 400_000, 1, True),
+    for size2, n, k, blocked, published in [
+        (22, 100_000, 8, True, None), (22, 400_000, 8, True, None),
+        (24, 400_000, 8, True, None), (24, 1_600_000, 8, True, None),
+        (22, 400_000, 4, True, None), (22, 400_000, 1, True, None),
         # the BASIC (non-blocked) variant: ideal-Bloom FPR at the same geometry
-        (22, 400_000, 8, False), (24, 1_600_000, 8, False),
+        (22, 400_000, 8, False, None), (24, 1_600_000, 8, False, None),
+        # the published PIM grid row (reference notebooks/bench1_perfs.csv
+        # row "0.00216,fpr,8,32,10000000,6": k=8, m=2^32, n=1e7, 6 ranks)
+        # at the same load factor n/m scaled to m=2^24: n = 1e7/2^8 = 39062.
+        # The published 0.00216 carries the PIM penalty (4096-bit MRAM
+        # blocks + item->sub-filter skew, SURVEY "blocked-Bloom FPR
+        # penalty"); our 64-bit-block design should land orders BELOW it,
+        # tracking the reference's own CPU variant (~0 at this load,
+        # notebooks/bench2_perfs.csv) while staying within OUR blocked bound
+        (24, 39_062, 8, True, 0.00216),
     ]:
         bf = BlockedBloomFilter(size2=size2, nb_hash=k, blocked=blocked)
         bf.insert_bulk(np.arange(n, dtype=np.int64))
-        fpr_sweep.append({
+        row = {
             "size2": size2, "k": k, "n": n, "blocked": blocked,
             "measured": round(float(bf.contains_bulk(neg).mean()), 7),
             "bound": round(bf.theoretical_fpr_bound(n), 7),
-        })
+        }
+        if published is not None:
+            row["published_ref_fpr"] = published
+        fpr_sweep.append(row)
 
     # ---- estimate-vs-published-bound sweep (CMS / KLL / HLL) -------------------
     # numpy-only twin of the FPR sweep: deterministic zipf-ish stream, max

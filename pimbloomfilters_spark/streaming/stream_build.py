@@ -959,16 +959,17 @@ def _profile_from_blob(raw: bytes) -> dict:
     if head == _PROFILE_BLOB_V2:
         (n_cols,) = struct.unpack_from("<q", raw, 8)
         return _parse_profile_records(raw, 16, n_cols, True)
-    # no magic: head IS n_cols, but TWO headerless layouts shipped — the
-    # interim round-5 one with 5-field records and the original 4-field
-    # one. Records carry their own lengths, so the right layout is the
-    # one that consumes the blob exactly; try the newer first.
-    for five_fields in (True, False):
-        try:
-            return _parse_profile_records(raw, 8, head, five_fields)
-        except Exception:
-            continue
-    raise ValueError("unrecognized profile snapshot format")
+    # Headerless (pre-v2) snapshots are refused outright rather than
+    # sniffed: two headerless layouts once existed and disambiguating by
+    # try-parsing could, on a length coincidence, silently load a
+    # corrupted profile. Those snapshots only ever lived in short-lived
+    # tmp checkpoints, so there is no migration path to keep — delete the
+    # profile_*.bin snapshot files and re-run; the stream re-folds from
+    # its own checkpointed source replay.
+    raise ValueError(
+        "unrecognized profile snapshot format (pre-v2 headerless snapshot "
+        "or corrupt blob): delete the profile_*.bin files next to the "
+        "checkpoint and restart the query to rebuild the profile")
 
 
 def stream_profile_rows(spark, name: str) -> DataFrame:

@@ -740,11 +740,15 @@ def test_stream_query_name_kind_guard(spark, tmp_path_factory):
             checkpoint_dir=str(tmp_path_factory.mktemp("kind_ck2")))
 
 
-def test_profile_blob_roundtrip_and_legacy_format():
-    """v2 snapshots round-trip stats; a legacy (pre-stats, 4-field) blob
-    still parses — a checkpoint written by the old format must not brick
-    resume."""
+def test_profile_blob_roundtrip_and_legacy_refused():
+    """v2 snapshots round-trip stats bit-exactly; headerless (pre-v2)
+    blobs are REFUSED with an actionable error — sniffing two legacy
+    layouts by try-parse could silently load a corrupted profile on a
+    length coincidence, and those snapshots only ever lived in tmp
+    checkpoints."""
     import struct
+
+    import pytest as _pt
 
     from pimbloomfilters_spark.sketches import make_sketch
     from pimbloomfilters_spark.streaming.stream_build import (
@@ -759,21 +763,9 @@ def test_profile_blob_roundtrip_and_legacy_format():
     assert got["a"][:2] == [10, 2] and got["a"][3] == prof["a"][3]
     assert got["a"][2].to_bytes() == sk.to_bytes()
     assert got["b"] == [10, 0, None, None]
-    # hand-build a v0 blob: <q n_cols, then <qqqq records, no stats
+    # a headerless v0-style blob: <q n_cols, then <qqqq records, no stats
     pb = sk.to_bytes()
     legacy = (struct.pack("<q", 1)
               + struct.pack("<qqqq", 1, 7, 3, len(pb)) + b"c" + pb)
-    old = _profile_from_blob(legacy)
-    assert old["c"][:2] == [7, 3] and old["c"][3] is None
-    assert old["c"][2].to_bytes() == pb
-    # and the interim v1 layout (5-field records, NO magic header) — the
-    # format that shipped briefly this round; record lengths disambiguate
-    import json as _json
-
-    sb = _json.dumps(["i", 1, 2, 3, 4]).encode()
-    v1 = (struct.pack("<q", 1)
-          + struct.pack("<qqqqq", 1, 9, 4, len(pb), len(sb))
-          + b"d" + pb + sb)
-    mid = _profile_from_blob(v1)
-    assert mid["d"][:2] == [9, 4] and mid["d"][3] == ["i", 1, 2, 3, 4]
-    assert mid["d"][2].to_bytes() == pb
+    with _pt.raises(ValueError, match="profile_"):
+        _profile_from_blob(legacy)
