@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions import dedup, multimodal, similarity, text
+from ..functions import bpe, dedup, multimodal, similarity, text
 from ..sources.tables import load_table, token_table
 from .catalog import QuerySpec
 
@@ -602,6 +602,54 @@ spans AS (SELECT * FROM gspans)""" +
             _substr_removal_tail("doc_id", "start"))
 
 
+_BPE_SCHEMA = "merge_idx long, a long, b long, new_id long, cnt long"
+
+
+def q_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge over the token table, exactly SQL-checkable:
+    adjacent-pair counting (every position, overlaps included) + argmax
+    with the (count desc, (a,b) asc) tie-break, new_id = max token + 1.
+    Anchors the distributed trainer's counting/argmax machinery to a
+    DuckDB oracle; the full iterative table is the rows-only
+    ``bpe_merges`` gate (merge i+1 depends on applying merge i — not
+    SQL-expressible)."""
+    tok = token_table(spark, sf_dir)
+    m = bpe.learn_bpe(tok.select("tokens"), 1)
+    rows = [(r["merge_idx"], r["a"], r["b"], r["new_id"], r["cnt"])
+            for r in m]
+    return spark.createDataFrame(rows, _BPE_SCHEMA)
+
+
+def _bpe_first_merge_oracle() -> str:
+    from ..sources.tables import TOKENS_ORACLE_CTE
+
+    return TOKENS_ORACLE_CTE + """,
+pairs AS (
+  SELECT a.token_id AS a, b.token_id AS b, count(*) AS cnt
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+)
+SELECT CAST(0 AS BIGINT) AS merge_idx, CAST(a AS BIGINT) AS a,
+       CAST(b AS BIGINT) AS b,
+       (SELECT CAST(max(token_id) + 1 AS BIGINT) FROM tok) AS new_id,
+       CAST(cnt AS BIGINT) AS cnt
+FROM pairs ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six sequential BPE merges learned distributed (pair-count scan +
+    TakeOrdered argmax + vectorized Arrow re-encode per step). Iterative
+    — merge i+1's counts require merge i applied — so this gate is
+    rows-only; exactness is anchored by ``bpe_first_merge`` (oracled) and
+    the pytest parity suite against a reference sequential trainer."""
+    tok = token_table(spark, sf_dir)
+    m = bpe.learn_bpe(tok.select("tokens"), 6, checkpoint_every=4)
+    rows = [(r["merge_idx"], r["a"], r["b"], r["new_id"], r["cnt"])
+            for r in m]
+    return spark.createDataFrame(rows, _BPE_SCHEMA)
+
+
 def q_substr_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr composed with transitive clustering: docs sharing a
     verbatim >= 15-token span form edges; connected components give the
@@ -1022,6 +1070,14 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         q_substr_dedup_global, _substr_global_dedup_oracle(),
         "global ExactSubstr removal end-to-end: vectorized Arrow span "
         "cut, cleaned arrays checksummed"),
+    "bpe_first_merge": QuerySpec(
+        q_bpe_first_merge, _bpe_first_merge_oracle(),
+        "BPE trainer's counting + argmax anchored to SQL: first merge "
+        "(pair counts incl. overlaps, (cnt desc, pair asc) tie-break)"),
+    "bpe_merges": QuerySpec(
+        q_bpe_merges, None,
+        "six sequential BPE merges learned distributed (rows-only: "
+        "iterative, anchored by bpe_first_merge + reference-parity tests)"),
     "dedup_exact_hash": QuerySpec(
         q_dedup_exact_hash, _ORACLE_DEDUP_EXACT,
         "exact dedup shuffling 8-byte xxhash64 keys (the 100-TB shape); "
