@@ -64,6 +64,19 @@ def _flat_rows(col):
     return vals, lens
 
 
+def _rebuild_list(vals: np.ndarray, lens: np.ndarray, src_col):
+    """Re-assemble flattened values into a list array with ``src_col``'s
+    NULL rows preserved as NULL (a NULL row always has len 0 here, so the
+    offsets stay consistent)."""
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    mask = None
+    if src_col.null_count:
+        mask = pa.array(~np.asarray(
+            src_col.is_valid().to_numpy(zero_copy_only=False), dtype=bool))
+    return pa.ListArray.from_arrays(pa.array(offs), pa.array(vals),
+                                    mask=mask)
+
+
 def _apply_merges_np(vals: np.ndarray, lens: np.ndarray,
                      merges: list[tuple[int, int, int]]):
     """Apply (a, b, new_id) merges IN ORDER to the flattened sequences
@@ -114,6 +127,11 @@ def pair_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
             vals, lens = _flat_rows(b.column(0))
             if vals.size < 2:
                 continue
+            if vals.min() < 0 or vals.max() > _MAX_ID:
+                raise ValueError(
+                    "token ids must be in [0, 2^31) for int64 pair "
+                    f"packing; batch has [{vals.min()}, {vals.max()}] — "
+                    "re-map ids (e.g. dense vocab ids) before BPE")
             ends = np.cumsum(lens) - 1
             codes = vals[:-1] * _PAIR_SHIFT + vals[1:]
             mask = np.ones(vals.size - 1, dtype=bool)
@@ -163,6 +181,10 @@ def learn_bpe(df: DataFrame, n_merges: int, tokens_col: str = "tokens",
     scan (see module docstring for the rank-drift trade)."""
     if n_merges < 0 or batch_merges < 1:
         raise ValueError("n_merges must be >= 0 and batch_merges >= 1")
+    if start_id is not None:
+        if start_id < 0:
+            raise ValueError("start_id must be >= 0")
+        _check_ids(start_id + max(n_merges - 1, 0))
     work = df.select(tokens_col)
     if start_id is None:
         mx = work.agg(F.max(F.array_max(tokens_col))).collect()[0][0]
@@ -195,11 +217,8 @@ def learn_bpe(df: DataFrame, n_merges: int, tokens_col: str = "tokens",
             for bt in batches:
                 vals, lens = _flat_rows(bt.column(0))
                 vals, lens = _apply_merges_np(vals, lens, _tail)
-                offs = np.concatenate(
-                    ([0], np.cumsum(lens))).astype(np.int32)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.ListArray.from_arrays(
-                        pa.array(offs), pa.array(vals))],
+                    [_rebuild_list(vals, lens, bt.column(0))],
                     names=[id_hint])
 
         work = base.mapInArrow(_apply, f"{tokens_col} array<long>")
@@ -230,10 +249,8 @@ def apply_bpe(df: DataFrame, merges: list[dict],
         for bt in batches:
             vals, lens = _flat_rows(bt.column(ti))
             vals, lens = _apply_merges_np(vals, lens, tail)
-            offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
             arrays = [bt.column(i) if i != ti else
-                      pa.ListArray.from_arrays(pa.array(offs),
-                                               pa.array(vals))
+                      _rebuild_list(vals, lens, bt.column(ti))
                       for i in range(len(cols))]
             yield pa.RecordBatch.from_arrays(arrays, names=cols)
 

@@ -738,7 +738,8 @@ def exact_substr_spans(df: DataFrame, k: int = 13,
                        min_span: int | None = None,
                        tokens_col: str = "tokens",
                        id_col: str = "doc_id",
-                       max_df: int | None = None) -> DataFrame:
+                       max_df: int | None = None,
+                       warn_uncapped: bool = True) -> DataFrame:
     """(doc_a, doc_b, start_a, start_b, span_len): maximal token spans of
     length >= ``min_span`` (default ``k``) shared verbatim by a pair of
     documents — cross-document substring-level exact dedup (Lee et al.
@@ -769,13 +770,16 @@ def exact_substr_spans(df: DataFrame, k: int = 13,
     which truncates reporting of ultra-hot spans (document the recall
     trade) while keeping every span whose grams stay under the cap; or
     screen hot spans first with ``token_ngram_decontaminate`` against a
-    mined boilerplate set and run this pass on the remainder."""
+    mined boilerplate set and run this pass on the remainder. An
+    uncapped call warns; ``warn_uncapped=False`` silences it for
+    intentional bounded-corpus pairwise analysis (the catalog gates,
+    which oracle the uncapped semantics on small corpora, pass it)."""
     from pyspark.sql import Window
 
     min_span = k if min_span is None else min_span
     if min_span < k:
         raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
-    if max_df is None:
+    if max_df is None and warn_uncapped:
         import warnings
         warnings.warn(
             "exact_substr_spans without max_df reports PAIRWISE spans at "

@@ -457,6 +457,29 @@ JOIN sizes sb ON sb.seq_id = i.seq_b
 """
 
 
+def _profile_contract(spark: SparkSession, cust: DataFrame,
+                      prof: DataFrame) -> DataFrame:
+    """Shared tail of the profile gates: join a profile table (``column``
+    renamed to ``col_name``) against exact per-column distinct counts and
+    emit the oracle-shaped contract row set — exact counts/min/max/sums
+    plus the HLL-ndv-within-published-bound boolean."""
+    cols = cust.columns
+    ex_row = cust.select(
+        *[F.countDistinct(c).alias(c) for c in cols]).collect()[0]
+    ex = spark.createDataFrame([(c, int(ex_row[c])) for c in cols],
+                               "col_name string, ndv_exact long")
+    rse = 1.04 / (1 << 14) ** 0.5
+    return (
+        prof.withColumnRenamed("column", "col_name").join(ex, "col_name")
+        .select(
+            "col_name", "n_rows", "n_nulls", "ndv_exact",
+            (F.abs(F.col("ndv_est") - F.col("ndv_exact"))
+             <= 4 * rse * F.col("ndv_exact") + F.lit(3.0)).alias("ndv_ok"),
+            "min_long", "max_long", "min_double", "max_double",
+            "sum_str", "sumsq_str")
+    )
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan table profile (ANALYZE-style): exact row/null counts per
     column + HLL ndv within the published bound vs exact distinct, plus
@@ -467,22 +490,7 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_table
 
     cust = load_table(spark, sf_dir, "customer")
-    cols = cust.columns
-    ex_row = cust.select(
-        *[F.countDistinct(c).alias(c) for c in cols]).collect()[0]
-    ex = spark.createDataFrame([(c, int(ex_row[c])) for c in cols],
-                               "col_name string, ndv_exact long")
-    rse = 1.04 / (1 << 14) ** 0.5
-    prof = profile_table(cust).withColumnRenamed("column", "col_name")
-    return (
-        prof.join(ex, "col_name")
-        .select(
-            "col_name", "n_rows", "n_nulls", "ndv_exact",
-            (F.abs(F.col("ndv_est") - F.col("ndv_exact"))
-             <= 4 * rse * F.col("ndv_exact") + F.lit(3.0)).alias("ndv_ok"),
-            "min_long", "max_long", "min_double", "max_double",
-            "sum_str", "sumsq_str")
-    )
+    return _profile_contract(spark, cust, profile_table(cust))
 
 
 def q_profile_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,7 +505,6 @@ def q_profile_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ..operators.profile import profile_table  # noqa: F401 (contract twin)
     from ..streaming import profile_stream_query, stream_profile_rows
 
     cust = load_table(spark, sf_dir, "customer")
@@ -512,24 +519,7 @@ def q_profile_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("maxFilesPerTrigger", 1).parquet(base))
     q = profile_stream_query(stream, name, ckpt)
     q.awaitTermination(300)
-
-    cols = cust.columns
-    ex_row = cust.select(
-        *[F.countDistinct(c).alias(c) for c in cols]).collect()[0]
-    ex = spark.createDataFrame([(c, int(ex_row[c])) for c in cols],
-                               "col_name string, ndv_exact long")
-    rse = 1.04 / (1 << 14) ** 0.5
-    prof = (stream_profile_rows(spark, name)
-            .withColumnRenamed("column", "col_name"))
-    return (
-        prof.join(ex, "col_name")
-        .select(
-            "col_name", "n_rows", "n_nulls", "ndv_exact",
-            (F.abs(F.col("ndv_est") - F.col("ndv_exact"))
-             <= 4 * rse * F.col("ndv_exact") + F.lit(3.0)).alias("ndv_ok"),
-            "min_long", "max_long", "min_double", "max_double",
-            "sum_str", "sumsq_str")
-    )
+    return _profile_contract(spark, cust, stream_profile_rows(spark, name))
 
 
 def _profile_oracle() -> str:
@@ -2009,11 +1999,11 @@ _register_pipeline_catalog()
 # semantics are unchanged; only dict iteration order moves.
 # The driver checks only the first ~50 queries() entries per round; this
 # list rotates coverage so no gate goes two rounds without a driver row
-# (round-4 verdict task #2). Round-5 head = new gates, then every gate
-# whose last driver row was round 3, then high-value round-4-covered
-# repeats (everything whose code or oracle changed this round, plus the
-# core sketch gates) — 50 exactly; the 30 displaced round-4-green gates
-# rotate back next round.
+# (round-4 verdict task #2). Round-6 head (54 entries; the driver budget
+# truncates the tail repeats, never the new/displaced block) = the 6 new
+# round-6 gates, then the 32 gates whose last driver row was round 4
+# (displaced by the round-5 window), then the 3 substr gates whose code
+# changed this round, then core-sketch repeats as window filler.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 6
     "substr_global_spans", "substr_dedup_global",

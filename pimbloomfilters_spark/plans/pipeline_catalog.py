@@ -388,7 +388,8 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines find identically (KR collisions are symmetric). Output
     is the full (pair, boundaries, length) span table."""
     return dedup.exact_substr_spans(_substr_corpus(spark, sf_dir),
-                                    k=_SUBSTR_K, min_span=_SUBSTR_MIN)
+                                    k=_SUBSTR_K, min_span=_SUBSTR_MIN,
+                                    warn_uncapped=False)
 
 
 # span-oracle pieces shared by the span gates and the removal gates —
@@ -496,7 +497,8 @@ def q_substr_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     18-token body (n_tok 0); originals keep theirs (they are doc_a)."""
     corpus = _substr_corpus(spark, sf_dir)
     spans = dedup.exact_substr_spans(corpus, k=_SUBSTR_K,
-                                     min_span=_SUBSTR_MIN)
+                                     min_span=_SUBSTR_MIN,
+                                     warn_uncapped=False)
     cleaned = dedup.remove_token_spans(corpus, spans)
     tok_sum = F.aggregate(
         "tokens", F.lit(0).cast("long"),
@@ -612,7 +614,9 @@ def q_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Anchors the distributed trainer's counting/argmax machinery to a
     DuckDB oracle; the full iterative table is the rows-only
     ``bpe_merges`` gate (merge i+1 depends on applying merge i — not
-    SQL-expressible)."""
+    SQL-expressible). The oracle carries the same ``cnt >= 2`` floor as
+    ``learn_bpe``'s ``min_count`` default, so both sides emit zero rows
+    on a corpus whose best pair occurs once."""
     tok = token_table(spark, sf_dir)
     m = bpe.learn_bpe(tok.select("tokens"), 1)
     rows = [(r["merge_idx"], r["a"], r["b"], r["new_id"], r["cnt"])
@@ -633,7 +637,8 @@ SELECT CAST(0 AS BIGINT) AS merge_idx, CAST(a AS BIGINT) AS a,
        CAST(b AS BIGINT) AS b,
        (SELECT CAST(max(token_id) + 1 AS BIGINT) FROM tok) AS new_id,
        CAST(cnt AS BIGINT) AS cnt
-FROM pairs ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+FROM pairs WHERE cnt >= 2
+ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
 """
 
 
@@ -659,7 +664,8 @@ def q_substr_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle = recursive-CTE closure over the identical exact pair set."""
     corpus = _substr_corpus(spark, sf_dir)
     pairs = (dedup.exact_substr_spans(corpus, k=_SUBSTR_K,
-                                      min_span=_SUBSTR_MIN)
+                                      min_span=_SUBSTR_MIN,
+                                      warn_uncapped=False)
              .select("doc_a", "doc_b").distinct())
     return dedup.near_dup_clusters(corpus.select("doc_id"), pairs)
 

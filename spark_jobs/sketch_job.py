@@ -179,8 +179,16 @@ def main() -> int:
     ss.add_argument("--input", required=True)
     ss.add_argument("--k", type=int, default=13, help="gram width")
     ss.add_argument("--min-span", type=int, default=None)
+    ss.add_argument("--mode", choices=["global", "pairwise"],
+                    default="global",
+                    help="global (default): corpus-global keep-first "
+                         "removal spans (doc_id, start, span_len), O(f) "
+                         "per repeated run — the scale path; pairwise: "
+                         "(doc_a, doc_b, ...) span-pair analysis, O(f^2) "
+                         "anchors on hot grams")
     ss.add_argument("--max-df", type=int, default=None,
-                    help="drop grams seen in more than this many docs")
+                    help="pairwise mode only: drop grams seen in more "
+                         "than this many docs")
     ss.add_argument("--tokens-col", default="tokens")
     ss.add_argument("--id-col", default="doc_id")
     ss.add_argument("--remove", action="store_true")
@@ -285,19 +293,32 @@ def main() -> int:
 
     if args.cmd == "substr":
         from pimbloomfilters_spark.functions.dedup import (
-            exact_substr_spans, remove_token_spans)
+            exact_substr_spans, exact_substr_spans_global,
+            remove_token_spans)
 
-        spans = exact_substr_spans(
-            df, k=args.k, min_span=args.min_span,
-            tokens_col=args.tokens_col, id_col=args.id_col,
-            max_df=args.max_df)
-        res = {"k": args.k}
+        if args.mode == "global":
+            if args.max_df is not None:
+                ap.error("--max-df applies to --mode pairwise only "
+                         "(the global path is O(f) per repeated run and "
+                         "needs no hot-gram cap)")
+            spans = exact_substr_spans_global(
+                df, k=args.k, min_span=args.min_span,
+                tokens_col=args.tokens_col, id_col=args.id_col)
+            rm_cols = {"span_id_col": args.id_col, "start_col": "start"}
+        else:
+            spans = exact_substr_spans(
+                df, k=args.k, min_span=args.min_span,
+                tokens_col=args.tokens_col, id_col=args.id_col,
+                max_df=args.max_df)
+            rm_cols = {"span_id_col": "doc_b", "start_col": "start_b"}
+        res = {"k": args.k, "mode": args.mode}
         if args.remove:
             spans_path = args.out + "_spans"
             spans.write.mode("overwrite").parquet(spans_path)
             spans = spark.read.parquet(spans_path)
             cleaned = remove_token_spans(
-                df, spans, id_col=args.id_col, tokens_col=args.tokens_col)
+                df, spans, id_col=args.id_col, tokens_col=args.tokens_col,
+                **rm_cols)
             cleaned.write.mode("overwrite").parquet(args.out)
             got = spark.read.parquet(args.out)
             res |= {"out": args.out, "spans_out": spans_path,
