@@ -165,6 +165,62 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     )
 
 
+def chunk_dedup(df: DataFrame, chunk_words: int = 25,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Corpus-global CHUNK-level exact dedup (the repeated-paragraph
+    removal stage of MassiveText-style curation, Rae et al. 2021 §A1.2):
+    split each document into fixed ``chunk_words``-word chunks (the
+    paragraph proxy for corpora without structural separators; pass the
+    real separator split upstream when one exists), keep only the FIRST
+    corpus-wide occurrence of every distinct chunk — ordered by
+    (``id_col``, chunk index), the same keep-first rule as
+    ``exact_substr_spans_global`` — and reassemble each document from
+    its surviving chunks in order. No reference analogue (the reference
+    has no corpus ops; tests/tests_utils.hpp:13-20 generates items in
+    RAM).
+
+    Output: (id, text = reassembled survivors [NULL when every chunk of
+    the doc was seen earlier], n_chunks, n_kept).
+
+    Scale shape: everything is JVM whole-stage codegen — split /
+    slice / array_join, no Python. Two exchanges: one hash-partition by
+    chunk CONTENT for the global first-occurrence window (distinct-chunk
+    cardinality keys; duplicated chunks co-locate, which is exactly the
+    skew that matters and is bounded per-chunk by its duplicate count),
+    one by ``id_col`` for the ordered reassembly. Documents and chunks
+    never fan out beyond n_words/chunk_words rows per doc."""
+    if chunk_words < 1:
+        raise ValueError("chunk_words must be >= 1")
+    from pyspark.sql import Window
+
+    ws = F.split(F.col(text_col), " ")
+    nc = F.ceil(F.size(ws) / F.lit(float(chunk_words))).cast("long")
+    base = df.select(F.col(id_col), ws.alias("_ws"), nc.alias("_nc"))
+    chunks = base.select(
+        id_col,
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("ci", "_g"),
+        F.array_join(
+            F.slice("_ws", F.col("_g").cast("int") * chunk_words + 1,
+                    chunk_words), " ").alias("chunk"),
+    ).drop("_g")
+    w = Window.partitionBy("chunk").orderBy(id_col, "ci")
+    kept = chunks.withColumn("_rn", F.row_number().over(w))
+    first = F.when(F.col("_rn") == 1, F.struct("ci", "chunk"))
+    return (
+        kept.groupBy(id_col)
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
+             F.array_sort(F.collect_list(first)).alias("_kc"))
+        .select(
+            id_col,
+            F.when(F.col("n_kept") > 0,
+                   F.array_join(F.transform("_kc", lambda s: s["chunk"]),
+                                " ")).alias(text_col),
+            "n_chunks", "n_kept")
+    )
+
+
 # --------------------------------------------------------- char n-grams
 def char_ngrams(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, gram) distinct char n-grams — expressed as a JVM-side

@@ -240,6 +240,48 @@ SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
 FROM documents GROUP BY text
 """
 
+_CHUNK_W = 25
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-chunk removal (the MassiveText repeated-paragraph stage)
+    over the documents table: fixed 25-word chunks, global keep-first by
+    (doc_id, chunk index), documents reassembled from survivors. The
+    gate fingerprints the reassembled text (md5 + length) so the hash
+    compare covers content AND order without shipping full documents."""
+    out = dedup.chunk_dedup(load_table(spark, sf_dir, "documents"),
+                            chunk_words=_CHUNK_W)
+    return out.select(
+        "doc_id", "n_chunks", "n_kept",
+        F.md5("text").alias("clean_md5"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("clean_nchars"))
+
+
+_ORACLE_CHUNK_DEDUP = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(g AS BIGINT) AS ci,
+         array_to_string(ws[(g*{_CHUNK_W}+1):(g*{_CHUNK_W}+{_CHUNK_W})],
+                         ' ') AS chunk
+  FROM words, UNNEST(generate_series(0,
+       CAST(ceil(len(ws) / {_CHUNK_W}.0) AS BIGINT) - 1)) AS t(g)
+),
+ranked AS (
+  SELECT doc_id, ci, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+       md5(string_agg(chunk, ' ' ORDER BY ci) FILTER (rn = 1)) AS clean_md5,
+       CAST(coalesce(length(string_agg(chunk, ' ' ORDER BY ci)
+                            FILTER (rn = 1)), 0) AS INT) AS clean_nchars
+FROM ranked GROUP BY doc_id
+"""
+
 _JACCARD_CTE = """
 WITH capped AS (SELECT * FROM documents WHERE doc_id < 500),
 grams AS (
@@ -653,6 +695,90 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(r["merge_idx"], r["a"], r["b"], r["new_id"], r["cnt"])
             for r in m]
     return spark.createDataFrame(rows, _BPE_SCHEMA)
+
+
+def q_bpe_apply_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchors the ENCODE side of BPE to a SQL oracle: learn the single
+    top merge, re-encode the whole corpus with ``apply_bpe``'s
+    leftmost-greedy vectorized pass, and emit exact per-doc integer
+    checksums (post-merge length, token sum, position-weighted sum — the
+    position weighting catches any ordering or off-by-one slip). A
+    single greedy merge IS SQL-expressible: consecutive match runs only
+    arise when a == b, so greedy = odd-ranked positions within
+    gaps-and-islands over match positions — the same overlap rule
+    ``_apply_merges_np`` implements for arbitrary merge chains."""
+    tok = token_table(spark, sf_dir)
+    m = bpe.learn_bpe(tok.select("tokens"), 1)
+    if not m:  # best pair occurs once: oracle's cnt >= 2 filter emits 0 rows
+        return spark.createDataFrame(
+            [], "doc_id long, n_tok long, tok_sum long, pos_sum long")
+    enc = bpe.apply_bpe(
+        tok.select(F.col("doc_id").cast("long").alias("doc_id"), "tokens"),
+        m)
+    tok_sum = F.aggregate("tokens", F.lit(0).cast("long"),
+                          lambda a, x: a + x)
+    pos_sum = F.aggregate(
+        F.zip_with("tokens", F.sequence(F.lit(1), F.size("tokens")),
+                   lambda t, i: t * i.cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    return enc.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tok"),
+        tok_sum.alias("tok_sum"), pos_sum.alias("pos_sum"))
+
+
+def _bpe_apply_one_oracle() -> str:
+    from ..sources.tables import TOKENS_ORACLE_CTE
+
+    return TOKENS_ORACLE_CTE + """,
+pairs AS (
+  SELECT a.token_id AS a, b.token_id AS b, count(*) AS cnt
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+top_pair AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         (SELECT CAST(max(token_id) + 1 AS BIGINT) FROM tok) AS new_id
+  FROM pairs WHERE cnt >= 2
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+matches AS (
+  SELECT t.doc_id, t.pos
+  FROM tok t JOIN tok u ON u.doc_id = t.doc_id AND u.pos = t.pos + 1,
+       top_pair tp
+  WHERE t.token_id = tp.a AND u.token_id = tp.b
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM matches
+),
+sel AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY doc_id, g ORDER BY pos) AS rn
+    FROM isl) WHERE rn % 2 = 1
+),
+kept AS (
+  SELECT t.doc_id, t.pos,
+         CASE WHEN s.pos IS NOT NULL THEN tp.new_id
+              ELSE CAST(t.token_id AS BIGINT) END AS token_id
+  FROM tok t
+  CROSS JOIN top_pair tp
+  LEFT JOIN sel s  ON s.doc_id = t.doc_id AND s.pos = t.pos
+  LEFT JOIN sel s2 ON s2.doc_id = t.doc_id AND s2.pos = t.pos - 1
+  WHERE s2.pos IS NULL
+),
+renum AS (
+  SELECT doc_id, token_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS np
+  FROM kept
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(token_id) AS BIGINT) AS tok_sum,
+       CAST(sum(token_id * np) AS BIGINT) AS pos_sum
+FROM renum GROUP BY doc_id
+"""
 
 
 def q_substr_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,6 +1210,16 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         q_bpe_merges, None,
         "six sequential BPE merges learned distributed (rows-only: "
         "iterative, anchored by bpe_first_merge + reference-parity tests)"),
+    "bpe_apply_one": QuerySpec(
+        q_bpe_apply_one, _bpe_apply_one_oracle(),
+        "BPE ENCODE anchored to SQL: corpus re-encoded with the top "
+        "merge, exact per-doc position-weighted checksums (greedy "
+        "overlap rule = odd island ranks)"),
+    "chunk_dedup": QuerySpec(
+        q_chunk_dedup, _ORACLE_CHUNK_DEDUP,
+        "repeated-chunk removal (MassiveText repeated-paragraph stage): "
+        "global keep-first over 25-word chunks, docs reassembled and "
+        "fingerprinted"),
     "dedup_exact_hash": QuerySpec(
         q_dedup_exact_hash, _ORACLE_DEDUP_EXACT,
         "exact dedup shuffling 8-byte xxhash64 keys (the 100-TB shape); "

@@ -134,3 +134,30 @@ def test_learn_bpe_rejects_bad_args(spark):
         learn_bpe(df, -1)
     with pytest.raises(ValueError, match="batch_merges"):
         learn_bpe(df, 1, batch_merges=0)
+
+
+def test_null_tokens_rows_stay_null(spark):
+    """apply_bpe (and the trainer's internal re-encode) must preserve
+    NULL tokens rows as NULL — the same contract remove_token_spans
+    keeps — never silently coerce them to empty arrays."""
+    rows = [(0, [1, 2, 1, 2]), (1, None), (2, [])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    merges = learn_bpe(df, 1, start_id=10)
+    assert len(merges) == 1
+    enc = {r["doc_id"]: r["tokens"] for r in apply_bpe(df, merges).collect()}
+    assert enc[0] == [10, 10]
+    assert enc[1] is None
+    assert enc[2] == []
+
+
+def test_out_of_range_ids_rejected(spark):
+    """Pre-packed ids >= 2^31 would silently wrap the int64 pair codes;
+    pair_counts must reject them up front, and learn_bpe must reject a
+    start_id whose minted ids would leave the packable range."""
+    bad = spark.createDataFrame([(0, [2 ** 31, 5])],
+                                "doc_id long, tokens array<long>")
+    with pytest.raises(Exception, match="token ids"):
+        pair_counts(bad).collect()
+    ok = _df(spark, [[1, 2, 1, 2]])
+    with pytest.raises(ValueError):
+        learn_bpe(ok, 2, start_id=2 ** 31 - 1)

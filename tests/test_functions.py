@@ -1100,3 +1100,44 @@ def test_exact_substr_dedup_end_to_end(spark):
     assert got[3]["tokens"] == filler(3, 9)             # prefix dup too
     assert got[3]["n_removed"] == 20
     assert all(r["n_tok"] == len(r["tokens"]) for r in got.values())
+
+
+def test_chunk_dedup_planted(spark):
+    """Repeated-chunk removal: global keep-first by (doc_id, chunk idx),
+    per-doc reassembly in order, all-dup docs -> NULL text, short tail
+    chunks handled, chunk_words validated."""
+    w = [f"w{i}" for i in range(10)]
+    c1 = " ".join(w[:4])                   # 4-word chunk, duplicated
+    c2 = " ".join(w[4:8])
+    docs = [
+        (1, c1 + " " + c2),                # chunks: c1, c2 (both first)
+        (2, c1 + " " + c1),                # both copies of c1 -> all dup
+        (3, c2 + " tail end"),             # c2 dup + unique short tail
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_chunks"], r["n_kept"])
+           for r in dedup.chunk_dedup(df, chunk_words=4).collect()}
+    assert got[1] == (c1 + " " + c2, 2, 2)
+    assert got[2] == (None, 2, 0)          # every chunk seen in doc 1
+    assert got[3] == ("tail end", 2, 1)    # survivors keep their order
+    with pytest.raises(ValueError, match="chunk_words"):
+        dedup.chunk_dedup(df, chunk_words=0)
+
+
+def test_exact_substr_uncapped_warning_togglable(spark):
+    """Uncapped pairwise span finding warns (the O(f^2) anchor trap);
+    warn_uncapped=False silences it for intentional bounded corpora, and
+    a max_df cap also silences it."""
+    import warnings
+
+    df = spark.createDataFrame([(1, [1, 2, 3]), (2, [4, 5, 6])],
+                               "doc_id long, tokens array<int>")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        dedup.exact_substr_spans(df, k=2)
+        assert any("max_df" in str(x.message) for x in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        dedup.exact_substr_spans(df, k=2, warn_uncapped=False)
+        dedup.exact_substr_spans(df, k=2, max_df=100)
+        assert not rec

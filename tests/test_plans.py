@@ -476,3 +476,22 @@ def test_exact_substr_spans_plan_shape(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "windowspecdefinition(doc_a" in plan  # partitioned window
+
+
+def test_chunk_dedup_plan_shape(spark):
+    """chunk_dedup stays entirely JVM-side (no Python eval node) and
+    shuffles exactly twice: once on chunk CONTENT for the global
+    first-occurrence window, once on the doc id for reassembly. No
+    single-partition exchange, no join."""
+    import re
+
+    from pimbloomfilters_spark.functions.dedup import chunk_dedup
+
+    df = spark.createDataFrame([(1, "a b c d e f"), (2, "a b c")],
+                               "doc_id long, text string")
+    plan = _plan(chunk_dedup(df, chunk_words=2))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInArrow" not in plan and "FlatMapGroupsInPandas" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
