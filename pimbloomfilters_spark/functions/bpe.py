@@ -257,6 +257,58 @@ def apply_bpe(df: DataFrame, merges: list[dict],
     return df.mapInArrow(_apply, schema)
 
 
+def vocab_truncate(df: DataFrame, top_v: int, unk_id: int = 0,
+                   tokens_col: str = "tokens") -> DataFrame:
+    """Vocabulary capping with OOV remap — the tokenizer-side sibling of
+    BPE application: keep the ``top_v`` most frequent token ids (ties
+    broken by smaller id, fully deterministic) and rewrite every other
+    occurrence to ``unk_id``. The standard closed-vocabulary stage of an
+    LLM data pipeline (cap the embedding table, map the tail to UNK).
+    Non-token columns pass through.
+
+    Spark-first shape: frequency counting is explode + partial-aggregated
+    groupBy (the exchange carries distinct-tokens-per-partition rows, not
+    the corpus); the top-V cut is ``orderBy(...).limit(top_v)`` — a
+    TakeOrderedAndProject, never a global sort; the keep set (bounded by
+    ``top_v`` int64s) ships inside the remap closure and the rewrite is
+    ONE zero-exchange ``mapInArrow`` pass (``np.searchsorted`` membership
+    over the flattened Arrow values — no per-row Python, no join against
+    the corpus). NULL rows stay NULL. For a top_v so large the keep array
+    strains task serialization (~10^8+), ship it via ``SparkContext
+    .addFile`` + mmap instead — the ``ship_sketch`` recipe in
+    ``operators/probe.py``."""
+    if top_v < 1:
+        raise ValueError("top_v must be >= 1")
+    freq = (df.select(F.explode(tokens_col).alias("_t"))
+            .groupBy("_t").agg(F.count("*").alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("_t")).limit(top_v))
+    keep = np.sort(np.array([r["_t"] for r in freq.collect()],
+                            dtype=np.int64))
+    unk = np.int64(unk_id)
+    cols = df.columns
+    ti = cols.index(tokens_col)
+    schema = ", ".join(
+        f"{c} {t}" if c != tokens_col else f"{c} array<long>"
+        for c, t in df.dtypes)
+
+    def _remap(batches):
+        for bt in batches:
+            col = bt.column(ti)
+            vals, lens = _flat_rows(col)
+            if vals.size and keep.size:
+                idx = np.minimum(np.searchsorted(keep, vals),
+                                 keep.size - 1)
+                vals = np.where(keep[idx] == vals, vals, unk)
+            elif vals.size:
+                vals = np.full_like(vals, unk)
+            arrays = [bt.column(i) if i != ti else
+                      _rebuild_list(vals, lens, col)
+                      for i in range(len(cols))]
+            yield pa.RecordBatch.from_arrays(arrays, names=cols)
+
+    return df.mapInArrow(_remap, schema)
+
+
 def decode_tokens(tokens: list[int], merges: list[dict]) -> list[int]:
     """Driver-side inverse of ``apply_bpe`` for ONE sequence: recursively
     expand merged symbols back to the base alphabet (testing/debug aid —

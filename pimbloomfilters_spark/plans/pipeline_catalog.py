@@ -781,6 +781,64 @@ FROM renum GROUP BY doc_id
 """
 
 
+_VOCAB_TOP_V = 20
+_VOCAB_UNK = 0
+
+
+def q_vocab_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary capping + OOV remap over the token table: keep the 20
+    most frequent token ids (count desc, id asc tie-break), every other
+    occurrence rewritten to UNK=0 (vocab ids start at 1, so 0 is free).
+    On the synthetic corpus this sends ~1/3 of all positions to UNK. The
+    gate emits exact per-doc integer checksums of the REWRITTEN arrays
+    (length, unk count, token sum, position-weighted sum) so the hash
+    compare covers every remapped position and its order."""
+    tok = token_table(spark, sf_dir)
+    out = bpe.vocab_truncate(
+        tok.select(F.col("doc_id").cast("long").alias("doc_id"), "tokens"),
+        _VOCAB_TOP_V, unk_id=_VOCAB_UNK)
+    tok_sum = F.aggregate("tokens", F.lit(0).cast("long"),
+                          lambda a, x: a + x)
+    pos_sum = F.aggregate(
+        F.zip_with("tokens", F.sequence(F.lit(1), F.size("tokens")),
+                   lambda t, i: t * i.cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    n_unk = F.aggregate(
+        "tokens", F.lit(0).cast("long"),
+        lambda a, x: a + F.when(x == _VOCAB_UNK, 1).otherwise(0))
+    return out.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tok"),
+        n_unk.alias("n_unk"), tok_sum.alias("tok_sum"),
+        pos_sum.alias("pos_sum"))
+
+
+def _vocab_truncate_oracle() -> str:
+    from ..sources.tables import TOKENS_ORACLE_CTE
+
+    return TOKENS_ORACLE_CTE + f""",
+freq AS (
+  SELECT token_id, count(*) AS cnt FROM tok GROUP BY token_id
+),
+keep AS (
+  SELECT token_id FROM freq
+  ORDER BY cnt DESC, token_id ASC LIMIT {_VOCAB_TOP_V}
+),
+remap AS (
+  SELECT t.doc_id, t.pos,
+         CASE WHEN k.token_id IS NOT NULL THEN CAST(t.token_id AS BIGINT)
+              ELSE CAST({_VOCAB_UNK} AS BIGINT) END AS token_id
+  FROM tok t LEFT JOIN keep k ON k.token_id = t.token_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(CASE WHEN token_id = {_VOCAB_UNK} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unk,
+       CAST(sum(token_id) AS BIGINT) AS tok_sum,
+       CAST(sum(token_id * pos) AS BIGINT) AS pos_sum
+FROM remap GROUP BY doc_id
+"""
+
+
 def q_substr_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr composed with transitive clustering: docs sharing a
     verbatim >= 15-token span form edges; connected components give the
@@ -1215,6 +1273,11 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         "BPE ENCODE anchored to SQL: corpus re-encoded with the top "
         "merge, exact per-doc position-weighted checksums (greedy "
         "overlap rule = odd island ranks)"),
+    "vocab_truncate": QuerySpec(
+        q_vocab_truncate, _vocab_truncate_oracle(),
+        "top-V vocabulary capping with OOV->UNK remap (one zero-exchange "
+        "Arrow pass, keep set shipped in-closure), exact per-doc "
+        "position-weighted checksums"),
     "chunk_dedup": QuerySpec(
         q_chunk_dedup, _ORACLE_CHUNK_DEDUP,
         "repeated-chunk removal (MassiveText repeated-paragraph stage): "

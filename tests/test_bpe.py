@@ -7,7 +7,7 @@ from collections import Counter
 import pytest
 
 from pimbloomfilters_spark.functions.bpe import (
-    apply_bpe, decode_tokens, learn_bpe, pair_counts)
+    apply_bpe, decode_tokens, learn_bpe, pair_counts, vocab_truncate)
 
 
 def _ref_apply_one(s, a, b, nid):
@@ -148,6 +148,44 @@ def test_null_tokens_rows_stay_null(spark):
     assert enc[0] == [10, 10]
     assert enc[1] is None
     assert enc[2] == []
+
+
+def _ref_truncate(seqs, top_v, unk):
+    c = Counter(t for s in seqs if s is not None for t in s)
+    keep = {t for t, _ in sorted(c.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:top_v]}
+    return [None if s is None else
+            [t if t in keep else unk for t in s] for s in seqs]
+
+
+def test_vocab_truncate_matches_reference(spark):
+    seqs = [[1, 2, 3, 1, 2], [4, 4, 4, 2], [5, 6, 1], None, [], [7]]
+    df = spark.createDataFrame(
+        [(i, s, f"s{i}") for i, s in enumerate(seqs)],
+        "doc_id long, tokens array<long>, src string")
+    for top_v in (1, 2, 3, 100):
+        got = {r["doc_id"]: r["tokens"] for r in
+               vocab_truncate(df, top_v, unk_id=0).collect()}
+        ref = _ref_truncate(seqs, top_v, 0)
+        assert [got[i] for i in range(len(seqs))] == ref
+    # non-token columns pass through untouched; schema order preserved
+    out = vocab_truncate(df, 2, unk_id=0)
+    assert out.columns == ["doc_id", "tokens", "src"]
+    assert {r["src"] for r in out.collect()} == {f"s{i}"
+                                                 for i in range(len(seqs))}
+    with pytest.raises(ValueError, match="top_v"):
+        vocab_truncate(df, 0)
+
+
+def test_vocab_truncate_tie_break_and_unk_id(spark):
+    """Equal counts break toward the SMALLER id (deterministic), and a
+    non-zero unk_id is honored even when it collides with a kept id."""
+    df = spark.createDataFrame([(0, [10, 20, 30])],
+                               "doc_id long, tokens array<long>")
+    got = vocab_truncate(df, 2, unk_id=99).collect()[0]["tokens"]
+    assert got == [10, 20, 99]          # 30 loses the tie, remapped to 99
+    got2 = vocab_truncate(df, 2, unk_id=10).collect()[0]["tokens"]
+    assert got2 == [10, 20, 10]
 
 
 def test_out_of_range_ids_rejected(spark):
