@@ -699,6 +699,78 @@ def embedding_near_dup_lsh(df: DataFrame, vec_col: str = "embedding",
     )
 
 
+def semantic_dedup(df: DataFrame, threshold: float = 0.7,
+                   n_clusters: int = 16, iters: int = 5,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   centroids=None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine
+    threshold. Returns (id_col, cluster, keep): a vector is dropped iff
+    some LOWER-id vector in its cluster has cosine >= ``threshold`` with
+    it (keep-first — deterministic, and the paper's "keep one per
+    duplicate group" policy with the group anchored at its smallest id).
+
+    Scale shape: one quantizer training pass (``ivf_centroids``
+    spherical k-means, or pass ``centroids`` to reuse a trained one —
+    the train-once pattern), ONE assignment scan (centroid matrix rides
+    the closure, argmax over a normalized float64 GEMM; ties take the
+    smallest cluster id), then a self-join keyed on cluster — pairwise
+    work is within-cluster only, the published algorithm's cost
+    sum(c_i^2). At 100 TB, scale ``n_clusters`` ~ n/target_cluster_size
+    so per-cluster pair counts stay constant; the join key then has high
+    cardinality and the exchange is balanced. ``iters=0`` keeps the
+    deterministic init (the ``n_clusters`` smallest-id vectors) with no
+    Lloyd refinement — fully reproducible cross-engine, used by the
+    oracle gate. No corpus-wide all-pairs anywhere.
+
+    Reference analogue: none (SURVEY §2.4 — the reference has no corpus
+    operators); this extends the LLM-pipeline dedup family
+    (``minhash_near_dup_pairs``, ``embedding_near_dup_lsh``)."""
+    from .similarity import _batch_matrix, _normalize, ivf_centroids
+
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, id_col, n_clusters, iters)
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    dim = c.shape[1]
+    vec_type = dict(df.dtypes)[vec_col]
+
+    def _assign(batches):
+        for b in batches:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            m = _normalize(_batch_matrix(b.column(1), dim))
+            cl = np.argmax(m @ c.T, axis=1)
+            v = b.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(cl.astype(np.int32)),
+                 v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v],
+                names=["_id", "cluster", "_v"])
+
+    assigned = df.select(id_col, vec_col).mapInArrow(
+        _assign, f"_id long, cluster int, _v {vec_type}")
+    va = assigned.select(F.col("_id").alias("id_a"), "cluster",
+                         F.col("_v").alias("_va"))
+    vb = assigned.select(F.col("_id").alias("id_b"), "cluster",
+                         F.col("_v").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda col: F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+    drops = (
+        va.join(vb, "cluster").filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.try_divide(
+            dot, nrm(F.col("_va")) * nrm(F.col("_vb"))))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("_id")).distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(drops, "_id", "left")
+        .select(F.col("_id").alias(id_col), "cluster",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )
+
+
 # ------------------------------------------- token n-gram decontamination
 _EMPTY3 = (np.empty(0, np.int64), np.empty(0, np.int64),
            np.empty(0, np.int64))

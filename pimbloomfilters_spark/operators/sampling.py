@@ -72,6 +72,51 @@ def weighted_sample(df: DataFrame, k: int, key_col: str,
     )
 
 
+def hash_split(df: DataFrame, fractions: dict, key_col: str,
+               salt: str = "", split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split — the dataset-versioning stage of
+    a training pipeline: every row lands in the split whose cumulative
+    fraction interval contains u = md5(key || salt)[:13 hex] / 2^52, a
+    52-bit uniform in [0, 1).
+
+    Properties a seeded ``randomSplit`` cannot give:
+
+    - row-stable: a row's split depends only on (key, salt) — reruns,
+      repartitioning, cluster size, and corpus growth never move a row
+      across splits (new rows join splits at the right rate);
+    - leak-proof under dedup: equal keys always land in the same split;
+    - engine-exact: the DuckDB oracle reproduces the assignment
+      byte-for-byte (same 52-bit construction as ``weighted_sample``).
+
+    Zero shuffles: the assignment is a row-local projection, so the split
+    column composes with any downstream plan without an exchange.
+    ``fractions`` maps split name -> fraction; they must sum to 1 (the
+    last split absorbs the remainder interval, so float rounding in the
+    cumulative bounds never drops a row). Insertion order of ``fractions``
+    fixes the interval order."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f <= 0 for f in fractions.values()):
+        raise ValueError("every fraction must be > 0")
+    names = list(fractions)
+    u = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+            1, 13), 16, 10).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    cum = 0.0
+    expr = F.lit(names[-1])
+    cases = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append((cum, name))
+    for bound, name in reversed(cases):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def mixture_sample(df: DataFrame, quotas: dict, key_col: str,
                    stratum_col: str = "source") -> DataFrame:
     """Dataset mixing by DOC quota: keep the first ``quotas[stratum]`` rows

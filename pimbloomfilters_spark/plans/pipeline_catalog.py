@@ -839,6 +839,104 @@ FROM remap GROUP BY doc_id
 """
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "v1"
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split over the corpus (hash_split:
+    row-stable 52-bit md5 uniform, zero-shuffle projection), summarized
+    per (source, split) with exact integer checksums — every doc's
+    assignment participates in the hash compare."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, _SPLIT_FRACTIONS, "doc_id", salt=_SPLIT_SALT)
+    return out.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("doc_id").cast("long")).alias("id_sum"),
+        F.sum(F.col("n_chars").cast("long")).alias("nchars_sum"))
+
+
+def _train_split_oracle() -> str:
+    # mirror hash_split's float accumulation exactly: the cumulative
+    # bounds are embedded with repr() so both engines compare the same
+    # double bit patterns
+    names = list(_SPLIT_FRACTIONS)
+    cum, cases = 0.0, []
+    for name in names[:-1]:
+        cum += _SPLIT_FRACTIONS[name]
+        cases.append(f"WHEN u < {cum!r} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||
+                                  '{_SPLIT_SALT}'), 1, 13)) AS BIGINT)
+         / 4503599627370496.0 AS u
+  FROM documents
+)
+SELECT source, {case} AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS nchars_sum
+FROM s GROUP BY source, split
+"""
+
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_T = 0.4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table with the deterministic iters=0
+    quantizer (centroids = the 8 smallest-id vectors): cluster sizes,
+    kept counts, and kept-id checksums per cluster. Cosine argmax /
+    threshold decisions agree cross-engine because gaps on this data are
+    >> the ~1e-7 float-order noise (same contract as the cosine_topk
+    rank gates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.semantic_dedup(emb, threshold=_SEMDEDUP_T,
+                               n_clusters=_SEMDEDUP_K, iters=0)
+    return out.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("vec_id").cast("long"))
+              .otherwise(F.lit(0))).alias("kept_id_sum"))
+
+
+_ORACLE_SEMDEDUP = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+),
+sim AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                      c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+a AS (SELECT vec_id, cid AS cluster FROM sim WHERE rn = 1),
+drops AS (
+  SELECT DISTINCT y.vec_id
+  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(ex.embedding, ey.embedding)
+        >= {_SEMDEDUP_T}
+)
+SELECT CAST(a.cluster AS INT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
+FROM a LEFT JOIN drops d USING (vec_id)
+GROUP BY a.cluster
+"""
+
+
 def q_substr_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr composed with transitive clustering: docs sharing a
     verbatim >= 15-token span form edges; connected components give the
@@ -1278,6 +1376,16 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         "top-V vocabulary capping with OOV->UNK remap (one zero-exchange "
         "Arrow pass, keep set shipped in-closure), exact per-doc "
         "position-weighted checksums"),
+    "train_split": QuerySpec(
+        q_train_split, _train_split_oracle(),
+        "deterministic hash-based train/val/test split (row-stable 52-bit "
+        "md5 uniform, zero-shuffle projection), per-(source,split) exact "
+        "checksums"),
+    "semantic_dedup": QuerySpec(
+        q_semantic_dedup, _ORACLE_SEMDEDUP,
+        "SemDeDup: k-means cluster + within-cluster cosine threshold, "
+        "keep-first policy; per-cluster sizes, kept counts, kept-id "
+        "checksums"),
     "chunk_dedup": QuerySpec(
         q_chunk_dedup, _ORACLE_CHUNK_DEDUP,
         "repeated-chunk removal (MassiveText repeated-paragraph stage): "

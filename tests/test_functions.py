@@ -296,6 +296,72 @@ def test_weighted_sample_biases_toward_weight(spark):
     assert [r["id"] for r in got] == [r["id"] for r in again]
 
 
+def test_hash_split_reference_and_stability(spark):
+    """hash_split must equal a driver-side md5 recompute row-for-row, hit
+    the requested fractions to within sampling noise, and never move a
+    row when the corpus grows (row-stability — the property randomSplit
+    lacks)."""
+    import hashlib
+
+    from pimbloomfilters_spark.operators.sampling import hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def ref(key):
+        u = int(hashlib.md5(f"{key}s1".encode()).hexdigest()[:13], 16) / (1 << 52)
+        return "train" if u < 0.8 else ("val" if u < 0.8 + 0.1 else "test")
+
+    df = spark.range(0, 3000).repartition(7)
+    got = {r["id"]: r["split"]
+           for r in hash_split(df, fr, "id", salt="s1").collect()}
+    assert got == {i: ref(i) for i in range(3000)}
+    from collections import Counter
+    c = Counter(got.values())
+    assert 2280 <= c["train"] <= 2520 and 230 <= c["val"] <= 370
+    # growing the corpus never reassigns an existing row
+    grown = {r["id"]: r["split"] for r in
+             hash_split(spark.range(0, 5000), fr, "id", salt="s1").collect()}
+    assert all(grown[i] == got[i] for i in range(3000))
+    # a different salt is a fresh independent split
+    other = {r["id"]: r["split"] for r in
+             hash_split(df, fr, "id", salt="s2").collect()}
+    assert any(other[i] != got[i] for i in range(3000))
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"a": 0.5, "b": 0.4}, "id")
+    with pytest.raises(ValueError, match="> 0"):
+        hash_split(df, {"a": 1.2, "b": -0.2}, "id")
+
+
+def test_semantic_dedup_planted_and_policy(spark, emb):
+    """SemDeDup: planted exact duplicates must be dropped (keep-first —
+    the smaller id survives), a cross-cluster near-dup pair must NOT be
+    affected (candidates are within-cluster only), and an impossible
+    threshold keeps everything."""
+    base = emb.select("vec_id", "embedding")
+    rows = base.filter(F.col("vec_id") < 5).collect()
+    clones = spark.createDataFrame(
+        [(int(r["vec_id"]) + 100_000, r["embedding"]) for r in rows],
+        "vec_id long, embedding array<float>")
+    union = base.unionAll(clones)
+    out = dedup.semantic_dedup(union, threshold=0.95, n_clusters=8,
+                               iters=0).collect()
+    keep = {r["vec_id"]: r["keep"] for r in out}
+    clus = {r["vec_id"]: r["cluster"] for r in out}
+    for i in range(5):
+        assert clus[i] == clus[i + 100_000]      # identical vector, same cell
+        assert keep[i] and not keep[i + 100_000]  # keep-first
+    # threshold above 1 keeps every vector
+    allkeep = dedup.semantic_dedup(base, threshold=1.01, n_clusters=8,
+                                   iters=0).collect()
+    assert all(r["keep"] for r in allkeep)
+    assert len(allkeep) == base.count()
+    # Lloyd-refined quantizer (iters>0) still yields a full partition
+    refined = dedup.semantic_dedup(base, threshold=0.95, n_clusters=4,
+                                   iters=2).collect()
+    assert len(refined) == base.count()
+    assert {r["cluster"] for r in refined} <= set(range(4))
+
+
 def test_winnow_shared_substring_guarantee(spark):
     """Winnowing contract (Schleimer et al. 2003): any shared substring of
     length >= window + w - 1 (16 + 8 - 1 = 23 here) produces a shared
