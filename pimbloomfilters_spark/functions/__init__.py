@@ -1,1 +1,2 @@
-from . import dedup, kmer, multimodal, packing, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    bpe, dedup, kmer, multimodal, packing, pii, similarity, text)

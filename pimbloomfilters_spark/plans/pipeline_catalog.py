@@ -884,6 +884,82 @@ FROM s GROUP BY source, split
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus with deterministically planted
+    contact strings (the synthetic vocabulary contains no digits or
+    @-signs, so plants are the only matches — and every email/SSN/phone/
+    IPv4 stage gets real coverage). Output: per-stage match counts plus
+    the md5 of the fully redacted text, so the hash compare covers every
+    replacement byte."""
+    from ..functions.pii import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.concat(
+                F.lit(" contact u"), d.cast("string"), F.lit("@ex"),
+                (d % 7).cast("string"), F.lit(".com now"))
+            ).otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.concat(
+                F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit(".77"))
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0,
+                   F.lit(" ssn 123-45-6789 tel 555-123-4567")
+                   ).otherwise(F.lit("")),
+        ).alias("text"))
+    out = redact_pii(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ssn").cast("int").alias("n_ssn"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.md5("text").alias("red_md5"))
+
+
+def _pii_oracle() -> str:
+    from ..functions.pii import PII_PATTERNS
+
+    pats = {name: (pat, repl) for name, pat, repl in PII_PATTERNS}
+    stages = []
+    prev = "t0"
+    for i, name in enumerate(("email", "ssn", "phone", "ipv4"), 1):
+        pat, repl = pats[name]
+        stages.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t"
+            + (f", {', '.join('n_' + n for n, _, _ in PII_PATTERNS[:i-1])}"
+               if i > 1 else "")
+            + f" FROM {prev})")
+        prev = f"s{i}"
+    return f"""
+WITH t0 AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' ||
+                   CAST(doc_id % 7 AS VARCHAR) || '.com now'
+              ELSE '' END ||
+         CASE WHEN doc_id % 4 = 0
+              THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' ssn 123-45-6789 tel 555-123-4567'
+              ELSE '' END AS t
+  FROM documents
+),
+{', '.join(stages)}
+SELECT doc_id, CAST(n_email AS INT) AS n_email,
+       CAST(n_ssn AS INT) AS n_ssn, CAST(n_phone AS INT) AS n_phone,
+       CAST(n_ipv4 AS INT) AS n_ipv4, md5(t) AS red_md5
+FROM {prev}
+"""
+
+
 _SEMDEDUP_K = 8
 _SEMDEDUP_T = 0.4
 
@@ -1376,6 +1452,11 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         "top-V vocabulary capping with OOV->UNK remap (one zero-exchange "
         "Arrow pass, keep set shipped in-closure), exact per-doc "
         "position-weighted checksums"),
+    "pii_redact": QuerySpec(
+        q_pii_redact, _pii_oracle(),
+        "PII redaction (email/SSN/phone/IPv4 mask + per-stage counts), "
+        "pure codegen regexp chain; planted-PII corpus, md5 of redacted "
+        "text in the hash"),
     "train_split": QuerySpec(
         q_train_split, _train_split_oracle(),
         "deterministic hash-based train/val/test split (row-stable 52-bit "

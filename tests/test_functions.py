@@ -362,6 +362,41 @@ def test_semantic_dedup_planted_and_policy(spark, emb):
     assert {r["cluster"] for r in refined} <= set(range(4))
 
 
+def test_redact_pii_masks_and_counts(spark):
+    from pimbloomfilters_spark.functions.pii import pii_doc_flags, redact_pii
+
+    rows = [
+        (0, "mail bob.smith+x@corp.example.co and carol@ex.org today"),
+        (1, "ssn 123-45-6789 then phone 555-123-4567"),
+        (2, "server at 192.168.1.254 and 10.0.0.1"),
+        (3, "clean text with no pii at all"),
+        (4, None),
+        (5, "edge 1234-567-8901 not a phone; 1.2.3.4.5 leading quad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["n_email"] == 2
+    assert got[0]["text"] == "mail <EMAIL> and <EMAIL> today"
+    assert (got[1]["n_ssn"], got[1]["n_phone"]) == (1, 1)
+    assert got[1]["text"] == "ssn <SSN> then phone <PHONE>"
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["text"] == rows[3][1]
+    assert got[4]["text"] is None and got[4]["n_email"] is None
+    # '1234-567-8901' has no word boundary before '234' -> not a phone;
+    # '1.2.3.4.5': the first dotted quad matches, the tail '.5' survives
+    assert got[5]["n_phone"] == 0
+    assert "<IP>.5" in got[5]["text"]
+    flags = {r["doc_id"]: r["has_pii"] for r in pii_doc_flags(df).collect()}
+    assert flags == {0: True, 1: True, 2: True, 3: False, 4: None, 5: True}
+    # staged semantics: an SSN masked by its own stage is invisible to
+    # the phone stage even though '123-45-6789' never matches the phone
+    # widths anyway — counts are computed on the running rewrite
+    both = spark.createDataFrame(
+        [(0, "a@b.co 123-45-6789")], "doc_id long, text string")
+    r = redact_pii(both).collect()[0]
+    assert (r["n_email"], r["n_ssn"], r["text"]) == (1, 1, "<EMAIL> <SSN>")
+
+
 def test_winnow_shared_substring_guarantee(spark):
     """Winnowing contract (Schleimer et al. 2003): any shared substring of
     length >= window + w - 1 (16 + 8 - 1 = 23 here) produces a shared
