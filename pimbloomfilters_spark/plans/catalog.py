@@ -2010,6 +2010,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "session_stream_parity", "profile_stream_parity",
     "bpe_first_merge", "bpe_merges", "bpe_apply_one", "chunk_dedup",
     "vocab_truncate", "train_split", "semantic_dedup", "pii_redact",
+    "sample_stream_parity",
     # last driver row was round 4 (the 32 displaced by the round-5 window)
     "token_table_exploded", "hll_distinct_docs", "mg_heavy_hitters",
     "cms_bigram_heavy_hitters", "countsketch_heavy_hitters", "f2_moment",

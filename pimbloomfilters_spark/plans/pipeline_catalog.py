@@ -884,6 +884,40 @@ FROM s GROUP BY source, split
 """
 
 
+def q_sample_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifies the STREAMING bottom-k sample against the batch
+    contract: the corpus is replayed as a 2-micro-batch file stream
+    through ``sample_stream_query``; because bottom-k by md5 priority is
+    mergeable, the held sample must equal batch ``uniform_sample`` over
+    the whole corpus — so the oracle is the plain ORDER BY md5 LIMIT k
+    SQL, byte-for-byte."""
+    import tempfile
+    import uuid
+
+    from ..streaming import sample_stream_query, stream_sample_rows
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source")
+    base = tempfile.mkdtemp(prefix="pbf_sampgate_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(base)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(base)
+    stream = (spark.readStream.schema("doc_id long, source string")
+              .option("maxFilesPerTrigger", 1).parquet(base))
+    name = "sampgate_" + uuid.uuid4().hex[:10]
+    ckpt = tempfile.mkdtemp(prefix="pbf_sampckpt_")
+    q = sample_stream_query(stream, "doc_id", 50, name, ckpt)
+    q.awaitTermination(300)
+    return stream_sample_rows(spark, name)
+
+
+_ORACLE_SAMPLE_STREAM = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50
+"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus with deterministically planted
     contact strings (the synthetic vocabulary contains no digits or
@@ -1452,6 +1486,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         "top-V vocabulary capping with OOV->UNK remap (one zero-exchange "
         "Arrow pass, keep set shipped in-closure), exact per-doc "
         "position-weighted checksums"),
+    "sample_stream_parity": QuerySpec(
+        q_sample_stream_parity, _ORACLE_SAMPLE_STREAM,
+        "streaming bottom-k sample == batch uniform_sample byte-for-byte "
+        "(2-micro-batch replay; mergeable md5-priority bottom-k)"),
     "pii_redact": QuerySpec(
         q_pii_redact, _pii_oracle(),
         "PII redaction (email/SSN/phone/IPv4 mask + per-stage counts), "

@@ -1073,3 +1073,131 @@ def profile_stream_query(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- streaming deterministic uniform sample -----------------------------------
+# Bottom-k by md5(key) priority is a MERGEABLE sample: bottom-k of a union
+# equals bottom-k of the per-part bottom-ks, so the held sample after any
+# micro-batch sequence is byte-identical to the batch ``uniform_sample``
+# over everything seen — regardless of batch boundaries, arrival order, or
+# restarts. State is k rows (an Arrow table snapshotted per batch).
+
+import io
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SAMPLE_LOCK = _threading.Lock()
+_SAMPLE_TABLES: dict[str, "pa.Table"] = {}
+
+
+def get_stream_sample(name: str):
+    """The running bottom-k sample as a pyarrow Table (priority column
+    ``_pri`` first, then the stream's columns), or None."""
+    with _SAMPLE_LOCK:
+        return _SAMPLE_TABLES.get(name)
+
+
+def stream_sample_rows(spark, name: str) -> DataFrame:
+    """The running sample as a DataFrame in the stream's schema (the rows
+    batch ``uniform_sample(k)`` over everything folded so far would
+    return). Raises KeyError for an unknown sample name."""
+    with _SAMPLE_LOCK:
+        t = _SAMPLE_TABLES.get(name)
+    if t is None:
+        raise KeyError(f"no stream sample named {name!r}")
+    return spark.createDataFrame(t.to_pandas().drop(columns=["_pri"]))
+
+
+def _sample_blob(t) -> bytes:
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue()
+
+
+def _sample_from_blob(raw: bytes):
+    return pa.ipc.open_stream(raw).read_all()
+
+
+def sample_stream_query(
+    stream_df: DataFrame,
+    key_col: str,
+    k: int,
+    name: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain a deterministic k-row uniform sample over a stream
+    (readable via ``stream_sample_rows``): each micro-batch contributes
+    its own bottom-k by md5(key) — a TakeOrderedAndProject, never a
+    batch-wide sort — and the driver keeps the k smallest priorities of
+    the union. Equal input => equal sample as the batch
+    ``operators.sampling.uniform_sample``, which is what the parity gate
+    asserts. Snapshot-per-batch next to the checkpoint (Arrow IPC, k
+    rows); restarts reload the newest snapshot and skip replayed batches
+    (exactly-once)."""
+    _claim(name, "sample")
+    wkey = f"sample:{name}"
+    d = _state_dir(checkpoint_dir)
+    with _SAMPLE_LOCK:
+        _SAMPLE_TABLES.pop(name, None)
+    best, path = -1, None
+    try:
+        for f in os.listdir(d):
+            if f.startswith("sample_") and f.endswith(".bin"):
+                bid = int(f[7:-4])
+                if bid > best:
+                    best, path = bid, os.path.join(d, f)
+    except FileNotFoundError:
+        pass
+    _PERSISTED_BATCH[wkey] = best
+    if path is not None:
+        with open(path, "rb") as fh:
+            loaded = _sample_from_blob(fh.read())
+        with _SAMPLE_LOCK:
+            _SAMPLE_TABLES[name] = loaded
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _PERSISTED_BATCH.get(wkey, -1):
+            return
+        if batch_df.isEmpty():
+            return
+        part = (batch_df
+                .withColumn("_pri", F.md5(F.col(key_col).cast("string")))
+                .select("_pri", *batch_df.columns)
+                .orderBy("_pri").limit(k))
+        batch_top = pa.Table.from_pandas(part.toPandas(),
+                                         preserve_index=False)
+        with _SAMPLE_LOCK:
+            cur = _SAMPLE_TABLES.get(name)
+            merged = (batch_top if cur is None
+                      else pa.concat_tables([cur, batch_top],
+                                            promote_options="none"))
+            order = pc.sort_indices(merged,
+                                    sort_keys=[("_pri", "ascending")])
+            merged = merged.take(order[:k])
+            _SAMPLE_TABLES[name] = merged
+            blob = _sample_blob(merged)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".sample_{batch_id}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, os.path.join(d, f"sample_{batch_id:012d}.bin"))
+        for f in sorted(x for x in os.listdir(d)
+                        if x.startswith("sample_") and x.endswith(".bin"))[:-2]:
+            try:
+                os.remove(os.path.join(d, f))
+            except OSError:
+                pass
+        _PERSISTED_BATCH[wkey] = batch_id
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_fold)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -769,3 +769,49 @@ def test_profile_blob_roundtrip_and_legacy_refused():
               + struct.pack("<qqqq", 1, 7, 3, len(pb)) + b"c" + pb)
     with _pt.raises(ValueError, match="profile_"):
         _profile_from_blob(legacy)
+
+
+def test_sample_stream_equals_batch_and_restarts(spark, tmp_path_factory):
+    """Streamed bottom-k sample == batch uniform_sample over everything
+    seen, across micro-batch boundaries AND a driver restart (snapshot
+    reload + replay skip)."""
+    from pimbloomfilters_spark.operators.sampling import uniform_sample
+    from pimbloomfilters_spark.streaming import (
+        sample_stream_query, stream_sample_rows)
+    from pimbloomfilters_spark.streaming import stream_build
+
+    data_dir = str(tmp_path_factory.mktemp("samp_in"))
+    ckpt = str(tmp_path_factory.mktemp("samp_ckpt"))
+    first = spark.range(0, 1500).withColumn(
+        "src", (F.col("id") % 3).cast("string"))
+    first.repartition(3).write.mode("append").parquet(data_dir)
+    schema = spark.read.parquet(data_dir).schema
+
+    def _run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(data_dir))
+        q = sample_stream_query(stream, "id", 40, "t_sample", ckpt)
+        q.awaitTermination(120)
+
+    _run()
+    batch1 = uniform_sample(spark.read.parquet(data_dir), 40, "id")
+    got1 = stream_sample_rows(spark, "t_sample")
+    assert sorted(r["id"] for r in got1.collect()) == \
+        sorted(r["id"] for r in batch1.collect())
+
+    # driver restart: wipe in-memory state, append more data, rerun
+    stream_build._SAMPLE_TABLES.pop("t_sample", None)
+    stream_build._PERSISTED_BATCH.pop("sample:t_sample", None)
+    spark.range(5000, 6500).withColumn(
+        "src", (F.col("id") % 3).cast("string")
+    ).repartition(3).write.mode("append").parquet(data_dir)
+    _run()
+
+    batch2 = uniform_sample(spark.read.parquet(data_dir), 40, "id")
+    got2 = stream_sample_rows(spark, "t_sample")
+    assert sorted(r["id"] for r in got2.collect()) == \
+        sorted(r["id"] for r in batch2.collect())
+    # schema passes through (sample rows keep all stream columns)
+    assert set(got2.columns) == {"id", "src"}
+    with pytest.raises(KeyError):
+        stream_sample_rows(spark, "no_such_sample")
