@@ -298,6 +298,96 @@ def token_repetition_stats(df: DataFrame,
     )
 
 
+def segment_repetition_stats(df: DataFrame, width: int = 5,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """(id, n_segments, n_dup_segments, chars_total, chars_dup,
+    dup_seg_frac, dup_char_frac): within-document duplicate-SEGMENT panel —
+    the "fraction of duplicate paragraphs/lines" and "fraction of characters
+    in duplicate paragraphs/lines" repetition quality signals of
+    MassiveText-style curation (Rae et al. 2021 §A1.1), the structural
+    complement of the n-gram signal ``token_repetition_stats`` computes.
+    Segments are fixed ``width``-word chunks — the paragraph proxy
+    ``chunk_dedup`` uses for corpora without structural separators; split on
+    the real separator upstream when one exists. A segment is a duplicate
+    iff its exact content occurs >= 2 times in the SAME document, and every
+    occurrence counts (both copies of a repeated paragraph are "duplicate
+    characters", matching the published filter's character-fraction form).
+    No reference analogue (the reference has no corpus ops;
+    tests/tests_utils.hpp:13-20 generates items in RAM).
+
+    Exactness: counts are integers; each fraction is ONE int/int double
+    division, bit-identical cross-engine. ``dup_char_frac`` is NULL when the
+    document has no characters (try_divide).
+
+    Scale shape: pure whole-stage-codegen array expressions — segments,
+    sort, neighbor-equality dup mask, and length folds all happen inside the
+    row, so the scan is embarrassingly parallel with ZERO exchanges at any
+    corpus size (asserted by the plan test). NULL/short docs yield
+    n_segments NULL/0 and are dropped by the final filter, mirroring
+    ``token_repetition_stats``."""
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    # Higher-order functions evaluate INTERPRETED, with no common-
+    # subexpression elimination: a lambda body that references a non-trivial
+    # outer EXPRESSION re-evaluates it per element (measured quadratic —
+    # 210s for 50 docs x 4k words). Staging each array as a named column
+    # keeps lambda references O(1) attribute lookups: CollapseProject
+    # refuses to inline a non-cheap expression referenced more than once,
+    # so the stages survive optimization (0.98s on the same input). Dup
+    # counting itself is ONE linear fold over the sorted segments tracking
+    # the current value's run length — per-element neighbor compares (e.g.
+    # F.get(s, i-1)) would hit the same per-element re-evaluation trap.
+    ws = F.col("_ws")
+    nseg = F.ceil(F.size(ws) / F.lit(float(width))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda g: F.array_join(
+            F.slice(ws, g.cast("int") * width + 1, width), " "),
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("ndup"), F.lit(0).alias("cdup"))
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(1)
+        # the run's 2nd occurrence retroactively counts the 1st as well
+        add = F.when(run == 2, 2).when(run > 2, 1).otherwise(0)
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            (acc["ndup"] + add).alias("ndup"),
+            (acc["cdup"] + add * F.length(x)).alias("cdup"))
+
+    dup = F.aggregate(
+        F.array_sort(F.col("_segs")), init, _step,
+        lambda a: F.struct(a["ndup"].alias("ndup"), a["cdup"].alias("cdup")))
+    # NULL text is excluded UP FRONT (n_segments >= 1 for any non-null text,
+    # so this is the same predicate) — a trailing filter on n_segments gets
+    # pushed below the staged projections with the aliases substituted back
+    # in, resurrecting exactly the per-element re-evaluation this staging
+    # avoids (measured 20x at 16k-word docs).
+    out = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("_ws", F.split(F.col(text_col), " "))
+        .withColumn("_segs", segs)
+        .withColumn("_dup", dup)
+        .select(
+            id_col,
+            F.size("_segs").alias("n_segments"),
+            F.col("_dup")["ndup"].alias("n_dup_segments"),
+            F.aggregate("_segs", F.lit(0),
+                        lambda acc, x: acc + F.length(x)).alias("chars_total"),
+            F.col("_dup")["cdup"].alias("chars_dup"))
+    )
+    return (
+        out.withColumn(
+            "dup_seg_frac",  # ONE int/int division -> bit-exact cross-engine
+            F.col("n_dup_segments") / F.col("n_segments"))
+        .withColumn("dup_char_frac",
+                    F.try_divide(F.col("chars_dup"), F.col("chars_total")))
+    )
+
+
 def tfidf_top_terms(tok_exploded: DataFrame, top: int = 5) -> DataFrame:
     """(doc_id, token_id, rank): each document's ``top`` tokens by tf-idf —
     the classic characteristic-term scoring over a (doc_id, token_id)

@@ -117,6 +117,57 @@ def hash_split(df: DataFrame, fractions: dict, key_col: str,
     return df.withColumn(split_col, expr)
 
 
+def epoch_shuffle(df: DataFrame, key_col: str, seed: int = 0,
+                  n_shards: int = 8) -> DataFrame:
+    """Deterministic global training order — the epoch-shuffle stage of a
+    training-data pipeline: every row gets a global position in the order
+    ``md5(seed || '|' || key)`` (ties broken by key, so positions are
+    unique), a round-robin ``shard = pos % n_shards`` (shard sizes balanced
+    to ±1 by construction), and ``pos_in_shard = pos / n_shards`` (the read
+    offset within the shard file). Varying ``seed`` re-shuffles per epoch;
+    the order is reproducible on any cluster size or partitioning, and the
+    DuckDB oracle reproduces it byte-for-byte (md5 hex is engine-portable;
+    a seeded RNG sort could not be).
+
+    Adds columns: shard int, pos long, pos_in_shard long.
+
+    Scale shape: global rank WITHOUT a single-task window and WITHOUT
+    data-dependent partitioning — the same construction as the vocabulary
+    ranker (``sources.tables.vocab_table``): rows bucket by the first two
+    hex chars of the md5 (a pure, deterministic function of the row,
+    monotone under the hash ordering — ``repartitionByRange``'s re-sampled
+    bounds would NOT be stable across evaluations), each bucket is
+    window-ranked in parallel, and the exclusive prefix sum of the 256
+    bucket counts (one tiny aggregate, broadcast back) lifts local ranks to
+    global positions. md5 uniformity bounds bucket skew at ~n/256 ± noise.
+    One exchange (hash-partition by bucket) + one count aggregate."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    spark = df.sparkSession
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string")))
+    # first two hex chars: 256 buckets, monotone in the hash's string order
+    bkt = (F.ascii(F.substring("_h", 1, 1)) * 256
+           + F.ascii(F.substring("_h", 2, 1))).alias("_bkt")
+    base = df.withColumn("_h", h).withColumn("_bkt", bkt)
+    sizes = sorted(
+        (r["_bkt"], r["cnt"]) for r in
+        base.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect())
+    offsets, acc = [], 0
+    for b, cnt in sizes:
+        offsets.append((b, acc))
+        acc += cnt
+    off = F.broadcast(spark.createDataFrame(offsets, "_bkt long, _off long"))
+    local = F.row_number().over(
+        Window.partitionBy("_bkt").orderBy("_h", key_col))
+    return (
+        base.join(off, "_bkt")
+        .withColumn("pos", F.col("_off") + local - 1)
+        .withColumn("shard", (F.col("pos") % n_shards).cast("int"))
+        .withColumn("pos_in_shard", F.floor(F.col("pos") / n_shards))
+        .drop("_h", "_bkt", "_off")
+    )
+
+
 def mixture_sample(df: DataFrame, quotas: dict, key_col: str,
                    stratum_col: str = "source") -> DataFrame:
     """Dataset mixing by DOC quota: keep the first ``quotas[stratum]`` rows

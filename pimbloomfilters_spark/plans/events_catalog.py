@@ -8,7 +8,8 @@ import functools
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import build_sketch_grouped
-from ..operators.sampling import stratified_sample, uniform_sample, weighted_sample
+from ..operators.sampling import (epoch_shuffle, stratified_sample,
+                                  uniform_sample, weighted_sample)
 from ..sketches import make_sketch
 from ..sources.tables import load_table
 from .catalog import QuerySpec
@@ -79,6 +80,28 @@ def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_UNIFORM = """
 SELECT doc_id, source FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50
+"""
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: global position in md5(seed|doc_id)
+    order, round-robin shard, within-shard offset — distributed rank with
+    no single-task window (bucket-prefix + exclusive offsets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", seed=1, n_shards=8).select(
+        "doc_id", "shard", "pos", "pos_in_shard")
+
+
+_ORACLE_EPOCH = """
+WITH h AS (
+  SELECT doc_id, md5('1|' || CAST(doc_id AS VARCHAR)) AS hh FROM documents
+),
+r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos FROM h
+)
+SELECT doc_id, CAST(pos % 8 AS INT) AS shard, CAST(pos AS BIGINT) AS pos,
+       CAST(pos // 8 AS BIGINT) AS pos_in_shard
+FROM r
 """
 
 
@@ -347,4 +370,8 @@ EVENTS_CATALOG: dict[str, QuerySpec] = {
                                 "deterministic bottom-k uniform sample"),
     "stratified_sample": QuerySpec(q_stratified_sample, _ORACLE_STRATIFIED,
                                    "deterministic k-per-source stratified sample"),
+    "epoch_shuffle": QuerySpec(
+        q_epoch_shuffle, _ORACLE_EPOCH,
+        "deterministic epoch shuffle: global md5-order position + "
+        "round-robin shard via bucket-prefix distributed rank"),
 }

@@ -67,6 +67,44 @@ FROM documents
 """
 
 
+_SEG_W = 2  # word-chunk width for the repetition gate (width with a real
+#             dup signal on the synthetic corpus: ~35% of docs have dups)
+
+
+def q_segment_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-segment panel (MassiveText §A1.1 dup-line /
+    dup-paragraph signals) over fixed word chunks — counts exact, each
+    fraction ONE int/int division, zero exchanges."""
+    return text.segment_repetition_stats(
+        load_table(spark, sf_dir, "documents"), width=_SEG_W)
+
+
+_ORACLE_SEG_REP = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         array_to_string(ws[(g*{_SEG_W}+1):(g*{_SEG_W}+{_SEG_W})], ' ') AS seg
+  FROM words, UNNEST(generate_series(0,
+       CAST(ceil(len(ws) / {_SEG_W}.0) AS BIGINT) - 1)) AS t(g)
+),
+c AS (
+  SELECT doc_id, seg, count(*) AS cnt, length(seg) AS L
+  FROM segs GROUP BY doc_id, seg
+)
+SELECT doc_id,
+  CAST(sum(cnt) AS INT) AS n_segments,
+  CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS INT) AS n_dup_segments,
+  CAST(sum(cnt * L) AS INT) AS chars_total,
+  CAST(coalesce(sum(cnt * L) FILTER (cnt > 1), 0) AS INT) AS chars_dup,
+  coalesce(sum(cnt) FILTER (cnt > 1), 0) / sum(cnt) AS dup_seg_frac,
+  coalesce(sum(cnt * L) FILTER (cnt > 1), 0) / nullif(sum(cnt * L), 0)
+    AS dup_char_frac
+FROM c GROUP BY doc_id
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(load_table(spark, sf_dir, "documents"))
 
@@ -1429,6 +1467,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
                                 "integer text-quality signals"),
     "token_stats": QuerySpec(q_token_stats, _ORACLE_TOKEN_STATS,
                              "BPE-ish tokenizer counts + type-token ratio"),
+    "segment_repetition": QuerySpec(
+        q_segment_repetition, _ORACLE_SEG_REP,
+        "MassiveText dup-line/paragraph repetition panel over word chunks: "
+        "exact counts + char fractions, zero exchanges"),
     "doc_fingerprint_md5": QuerySpec(q_doc_md5, _ORACLE_MD5,
                                      "content-hash fingerprint"),
     "doc_rolling_fingerprints": QuerySpec(

@@ -332,6 +332,38 @@ def test_hash_split_reference_and_stability(spark):
         hash_split(df, {"a": 1.2, "b": -0.2}, "id")
 
 
+def test_epoch_shuffle_reference_and_balance(spark):
+    """epoch_shuffle must equal a driver-side md5-sort recompute exactly
+    (positions unique + dense), balance shards to ±1, be invariant to input
+    partitioning, and re-shuffle under a different seed."""
+    import hashlib
+
+    from pimbloomfilters_spark.operators.sampling import epoch_shuffle
+
+    n, shards = 3000, 7
+    df = spark.range(0, n).repartition(11)
+    got = {r["id"]: (r["shard"], r["pos"], r["pos_in_shard"])
+           for r in epoch_shuffle(df, "id", seed=3, n_shards=shards).collect()}
+    order = sorted(range(n),
+                   key=lambda i: (hashlib.md5(f"3|{i}".encode()).hexdigest(), i))
+    ref = {key: (p % shards, p, p // shards) for p, key in enumerate(order)}
+    assert got == ref
+    from collections import Counter
+    c = Counter(s for s, _, _ in got.values())
+    assert max(c.values()) - min(c.values()) <= 1 and len(c) == shards
+    # partitioning-invariant (the bucket function is a pure row function)
+    again = {r["id"]: (r["shard"], r["pos"], r["pos_in_shard"])
+             for r in epoch_shuffle(spark.range(0, n).repartition(2), "id",
+                                    seed=3, n_shards=shards).collect()}
+    assert again == got
+    # a different seed is a genuinely different order
+    other = {r["id"]: r["pos"]
+             for r in epoch_shuffle(df, "id", seed=4, n_shards=shards).collect()}
+    assert any(other[i] != got[i][1] for i in range(n))
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(df, "id", n_shards=0)
+
+
 def test_semantic_dedup_planted_and_policy(spark, emb):
     """SemDeDup: planted exact duplicates must be dropped (keep-first —
     the smaller id survives), a cross-cluster near-dup pair must NOT be
@@ -595,6 +627,39 @@ def test_token_repetition_stats(spark):
     assert (got[1]["n_bigrams"], got[1]["n_distinct"]) == (5, 2)
     assert abs(got[1]["dup_frac"] - 3 / 5) < 1e-12
     assert got[2]["dup_frac"] == 0.0
+
+
+def test_segment_repetition_stats(spark):
+    """Duplicate-segment panel: exact counts/char sums on planted chunks,
+    every-occurrence-counts semantics, empty/NULL text edge cases."""
+    import pytest as _pt
+
+    from pimbloomfilters_spark.functions.text import segment_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c d"),   # w=2 segs: "a b","a b","c d" -> 2 dup of 3
+         (2, "x y z w"),       # all distinct -> 0
+         (3, ""),              # one empty segment, 0 chars -> NULL char frac
+         (4, None)],           # NULL text -> dropped
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in segment_repetition_stats(df, width=2).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_segments"], got[1]["n_dup_segments"]) == (3, 2)
+    # chars: "a b" x2 + "c d" = 9 total, 6 in duplicated segments
+    assert (got[1]["chars_total"], got[1]["chars_dup"]) == (9, 6)
+    assert abs(got[1]["dup_seg_frac"] - 2 / 3) < 1e-15
+    assert abs(got[1]["dup_char_frac"] - 6 / 9) < 1e-15
+    assert got[2]["n_dup_segments"] == 0 and got[2]["dup_seg_frac"] == 0.0
+    assert (got[3]["n_segments"], got[3]["chars_total"]) == (1, 0)
+    assert got[3]["dup_char_frac"] is None  # 0/0 -> NULL, not an ANSI error
+    # a triple occurrence counts all three
+    t = segment_repetition_stats(
+        spark.createDataFrame([(9, "q q q")], "doc_id long, text string"),
+        width=1).collect()[0]
+    assert (t["n_segments"], t["n_dup_segments"]) == (3, 3)
+    with _pt.raises(ValueError):
+        segment_repetition_stats(df, width=0)
 
 
 def test_cosine_topk_blocked_equals_bruteforce(spark, emb):

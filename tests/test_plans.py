@@ -220,6 +220,26 @@ def test_token_repetition_no_shuffle(spark, sf_dir):
     assert "Exchange" not in _plan(token_repetition_stats(df))
 
 
+def test_epoch_shuffle_no_single_task_window(spark):
+    """The global rank in epoch_shuffle comes from per-bucket windows +
+    broadcast offsets — the plan must have NO single-partition exchange
+    (a naive row_number() over a global ORDER BY would)."""
+    from pimbloomfilters_spark.operators.sampling import epoch_shuffle
+
+    plan = _plan(epoch_shuffle(spark.range(0, 100), "id", n_shards=4))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_bkt" in plan
+
+
+def test_segment_repetition_no_shuffle(spark):
+    """The duplicate-segment panel is per-row array math — its plan must
+    contain NO Exchange at all (embarrassingly parallel scan)."""
+    from pimbloomfilters_spark.functions.text import segment_repetition_stats
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    assert "Exchange" not in _plan(segment_repetition_stats(df, width=2))
+
+
 def test_pack_windows_single_exchange(spark):
     """Sequence packing shuffles ONCE (on the group key for the window);
     the offset/window-id math is codegen expressions above it."""
