@@ -482,6 +482,190 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+# ------------------------------------------------------ product quantization
+def _l2_fold(xs: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """sum_i (xs[:, i] - c[i])^2 as a strict LEFT fold over dimensions —
+    bit-exact twin of the DuckDB oracle's ``list_reduce`` term order (numpy
+    pairwise summation via ``.sum(axis=1)`` would differ in the last ulp and
+    can flip argmin/rank ties cross-engine)."""
+    acc = (xs[:, 0] - c[0]) ** 2
+    for i in range(1, xs.shape[1]):
+        acc = acc + (xs[:, i] - c[i]) ** 2
+    return acc
+
+
+def _sub_d2(xs: np.ndarray, cb_s: np.ndarray) -> np.ndarray:
+    """(rows, K) squared L2 distances of subvectors ``xs`` (rows, D) to one
+    subspace's codebook ``cb_s`` (K, D), every entry a left-fold double."""
+    d = np.empty((xs.shape[0], cb_s.shape[0]), dtype=np.float64)
+    for ci in range(cb_s.shape[0]):
+        d[:, ci] = _l2_fold(xs, cb_s[ci])
+    return d
+
+
+def pq_codebooks(df: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id", m: int = 4, n_codes: int = 16,
+                 iters: int = 0) -> np.ndarray:
+    """(m, n_codes, dim/m) float64 product-quantization codebooks (Jégou et
+    al. 2011, "Product Quantization for Nearest Neighbor Search"): the
+    vector space splits into ``m`` contiguous subspaces, each quantized by
+    its own ``n_codes``-entry L2 k-means codebook. Deterministic init: the
+    subvectors of the ``n_codes`` smallest-id vectors (``iters=0`` keeps
+    exactly that — fully reproducible cross-engine, the oracle-gate mode).
+    ``iters>0`` runs distributed Lloyd refinement for ALL m subspaces in one
+    assignment pass per iteration (mapInArrow, codebooks ride the closure)
+    + one per-(subspace, code) mean (applyInPandas over m x n_codes groups);
+    empty codes keep their previous centroid — same shape and determinism
+    contract as ``ivf_centroids``."""
+    init_rows = (df.select(id_col, vec_col).orderBy(id_col)
+                 .limit(n_codes).collect())
+    if len(init_rows) < n_codes:
+        raise ValueError(f"need >= {n_codes} vectors to seed codebooks")
+    mat = np.array([r[vec_col] for r in init_rows], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    cb = np.stack([mat[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+    for _ in range(iters):
+        c = cb  # rebind for closure pickling
+
+        def _assign(batches):
+            for b in batches:
+                xs = _batch_matrix(b.column(1), dim)
+                out_s, out_code, out_vec = [], [], []
+                for s in range(m):
+                    sub = xs[:, s * dsub:(s + 1) * dsub]
+                    codes = np.argmin(_sub_d2(sub, c[s]), axis=1)
+                    out_s.append(np.full(len(codes), s, np.int32))
+                    out_code.append(codes.astype(np.int32))
+                    out_vec.append(sub)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_s)),
+                     pa.array(np.concatenate(out_code)),
+                     pa.array(list(np.concatenate(out_vec)))],
+                    names=["s", "code", "sub"])
+
+        assigned = df.select(id_col, vec_col).mapInArrow(
+            _assign, "s int, code int, sub array<double>")
+
+        def _mean(pdf):
+            import pandas as pd
+
+            v = np.stack(pdf["sub"].to_numpy()).astype(np.float64)
+            return pd.DataFrame({
+                "s": [int(pdf["s"].iloc[0])],
+                "code": [int(pdf["code"].iloc[0])],
+                "centroid": [v.mean(axis=0).tolist()],
+            })
+
+        rows = assigned.groupBy("s", "code").applyInPandas(
+            _mean, "s int, code int, centroid array<double>").collect()
+        new = cb.copy()
+        for r in rows:
+            new[r["s"], r["code"]] = r["centroid"]
+        cb = new
+    return cb
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<int>): PQ-encode every vector — per subspace, the
+    code of the L2-nearest codebook entry (ties -> smallest code, matching
+    the oracle's (d2, code) ordering). ONE mapInArrow scan, zero exchanges;
+    at 100 TB this is the compression pass that turns a 256-byte fp32
+    vector into m bytes of codes (the ADC scan then never touches raw
+    vectors)."""
+    m, _k, dsub = codebooks.shape
+    dim = m * dsub
+    cb = codebooks
+
+    def _enc(batches):
+        for b in batches:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            xs = _batch_matrix(b.column(1), dim)
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for s in range(m):
+                codes[:, s] = np.argmin(
+                    _sub_d2(xs[:, s * dsub:(s + 1) * dsub], cb[s]), axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids),
+                 pa.FixedSizeListArray.from_arrays(
+                     pa.array(codes.ravel()), m).cast(
+                         pa.list_(pa.int32()))],
+                names=["_id", "codes"])
+
+    return df.select(id_col, vec_col).mapInArrow(
+        _enc, "_id long, codes array<int>").withColumnRenamed("_id", id_col)
+
+
+def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            m: int = 4, n_codes: int = 16, iters: int = 0,
+            codebooks: np.ndarray | None = None,
+            codes: DataFrame | None = None,
+            exclude_self: bool = True) -> DataFrame:
+    """(query_id, neighbor_id, rank): approximate L2 top-k by asymmetric
+    distance computation (ADC) over PQ codes — the compressed-domain ANN
+    scan (Jégou et al. 2011 §IV): per query, a tiny (m x n_codes) table of
+    exact subspace distances; each corpus vector's approximate distance is
+    m table lookups summed in fixed subspace order (left fold — bit-exact
+    vs the SQL oracle). Ties rank by neighbor id ascending.
+
+    Scale shape: the corpus is scanned as CODES (m ints/vector — encode
+    once with ``pq_encode`` and pass ``codes=`` for the query-many
+    pattern); each partition emits only its local top-k per query
+    (lexsort on (adc, id) — the map-side-combine shape of
+    ``cosine_topk_bruteforce``), and a window over partitions x k x
+    queries rows finishes. Compose with ``ivf_centroids`` routing for
+    IVF-PQ when even one full code scan is too much. Pass ``codebooks``
+    to reuse a trained quantizer."""
+    if codebooks is None:
+        codebooks = pq_codebooks(df, vec_col, id_col, m, n_codes, iters)
+    m, _k_cb, dsub = codebooks.shape
+    dim = m * dsub
+    if codes is None:
+        codes = pq_encode(df, codebooks, vec_col, id_col)
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    # ADC tables: T[q, s, c] = exact left-fold d2(q's subvector s, code c)
+    tables = np.stack([
+        np.stack([_sub_d2(qm[:, s * dsub:(s + 1) * dsub], codebooks[s])[qi]
+                  for s in range(m)])
+        for qi in range(len(q_ids))])
+    excl = exclude_self
+
+    def _scan(batches):
+        for b in batches:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            cd = np.asarray(b.column(1).flatten().to_numpy(
+                zero_copy_only=False), dtype=np.int64).reshape(-1, m)
+            for qi, qid in enumerate(q_ids):
+                adc = tables[qi, 0][cd[:, 0]]
+                for s in range(1, m):  # fixed-order fold == the SQL oracle
+                    adc = adc + tables[qi, s][cd[:, s]]
+                mask = ids != qid if excl else slice(None)
+                cand_ids, cand = ids[mask], adc[mask]
+                if cand_ids.size == 0:
+                    continue
+                top = np.lexsort((cand_ids, cand))[:k]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.full(len(top), qid)),
+                     pa.array(cand_ids[top]), pa.array(cand[top])],
+                    names=["query_id", "neighbor_id", "_adc"])
+
+    local = codes.select(id_col, "codes").mapInArrow(
+        _scan, "query_id long, neighbor_id long, _adc double")
+    w = Window.partitionBy("query_id").orderBy("_adc", "neighbor_id")
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def embedding_group_stats(df: DataFrame, group_col: str = "label",
                           vec_col: str = "embedding") -> DataFrame:
     """(group, n_vectors, centroid array<double>, centroid_norm, mean_norm):

@@ -1269,6 +1269,64 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_K, _PQ_D = 4, 16, 16  # subspaces, codes, dims/subspace (dim 64)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (Jégou et al. 2011), EXACTLY
+    oracle-checked (not a recall floor): with iters=0 the codebooks are the
+    subvectors of the 16 smallest-id vectors, encode is an argmin over
+    left-fold d2 doubles, and the ADC sum is a fixed-order fold — every
+    float on both engines is bit-identical, so ranks match exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        m=_PQ_M, n_codes=_PQ_K, iters=0)
+
+
+_ORACLE_PQ_TOPK = f"""
+WITH cb AS (
+  SELECT s, vec_id AS code, embedding AS v
+  FROM embeddings, UNNEST(generate_series(0, {_PQ_M - 1})) t(s)
+  WHERE vec_id < {_PQ_K}
+),
+enc AS (
+  SELECT x.vec_id, c.s, c.code,
+         list_reduce(list_transform(generate_series(1, {_PQ_D}), i ->
+           (CAST(x.embedding[c.s*{_PQ_D} + i] AS DOUBLE)
+            - CAST(c.v[c.s*{_PQ_D} + i] AS DOUBLE))
+           * (CAST(x.embedding[c.s*{_PQ_D} + i] AS DOUBLE)
+              - CAST(c.v[c.s*{_PQ_D} + i] AS DOUBLE))),
+           (a, b) -> a + b) AS d2
+  FROM embeddings x, cb c
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+    FROM enc) WHERE rn = 1
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.s, t.d2
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+  JOIN codes c ON c.vec_id != q.vec_id
+  JOIN enc t ON t.vec_id = q.vec_id AND t.s = c.s AND t.code = c.code
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         (((max(CASE WHEN s=0 THEN d2 END) + max(CASE WHEN s=1 THEN d2 END))
+           + max(CASE WHEN s=2 THEN d2 END))
+          + max(CASE WHEN s=3 THEN d2 END)) AS dist
+  FROM pairs GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rank
+  FROM adc) WHERE rank <= 5
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup: connected components over the verified >= 0.7
     near-dup pairs (pairs (a,b),(b,c) are ONE duplicate group). Iterative
@@ -1579,6 +1637,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(
         q_ann_lsh_topk, _ORACLE_ANN,
         "multiprobe LSH retrieves planted near-dup sources above recall floor"),
+    "pq_topk": QuerySpec(
+        q_pq_topk, _ORACLE_PQ_TOPK,
+        "product-quantization ADC top-5: compressed-domain ANN, ranks "
+        "bit-exact vs the SQL left-fold oracle (not a recall floor)"),
     "ivf_topk": QuerySpec(
         q_ivf_topk, _ORACLE_ANN,
         "IVF coarse-quantizer ANN retrieves planted sources above recall floor"),

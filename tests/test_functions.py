@@ -469,6 +469,61 @@ def test_ivf_recall_on_planted_neighbors(spark, emb):
     assert len(found) >= 18, f"planted-neighbor recall {len(found)}/20"
 
 
+def test_pq_encode_numpy_parity(spark, emb):
+    """pq_encode must equal a driver-side numpy reference (same left-fold
+    d2, argmin with first-tie), and a planted exact duplicate of a query
+    must rank 1 in pq_topk (identical codes -> ADC 0)."""
+    from pimbloomfilters_spark.functions.similarity import (
+        _sub_d2, pq_codebooks, pq_encode, pq_topk)
+
+    cb = pq_codebooks(emb, m=4, n_codes=16, iters=0)
+    assert cb.shape == (4, 16, 16)
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(emb, cb).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows[:100]:
+        x = np.array(r["embedding"], dtype=np.float64)[None, :]
+        ref = [int(np.argmin(_sub_d2(x[:, s * 16:(s + 1) * 16], cb[s])))
+               for s in range(4)]
+        assert got[r["vec_id"]] == ref
+    # planted duplicate: vec 3's embedding under a fresh id
+    dup_id = 900_000
+    src = next(r for r in rows if r["vec_id"] == 3)
+    aug = emb.union(spark.createDataFrame(
+        [(dup_id, src["embedding"], None)], emb.schema))
+    top = pq_topk(aug, emb.filter("vec_id = 3"), k=3, codebooks=cb).collect()
+    assert [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])][0] \
+        == dup_id
+
+
+def test_pq_topk_codes_reuse_and_lloyd(spark, emb):
+    """The encode-once/query-many path (codes=) returns exactly the inline
+    result; Lloyd refinement (iters>0) does not increase quantization
+    error; bad geometry raises."""
+    from pimbloomfilters_spark.functions.similarity import (
+        _sub_d2, pq_codebooks, pq_encode, pq_topk)
+
+    cb = pq_codebooks(emb, m=4, n_codes=16, iters=0)
+    queries = emb.filter("vec_id < 6")
+    inline = set(map(tuple, pq_topk(emb, queries, k=4,
+                                    codebooks=cb).collect()))
+    codes = pq_encode(emb, cb)
+    reused = set(map(tuple, pq_topk(emb, queries, k=4, codebooks=cb,
+                                    codes=codes).collect()))
+    assert inline == reused and len(inline) == 24
+
+    def qerr(c):
+        mat = np.array([r["embedding"] for r in
+                        emb.select("embedding").collect()], dtype=np.float64)
+        return sum(float(_sub_d2(mat[:, s * 16:(s + 1) * 16], c[s])
+                         .min(axis=1).sum()) for s in range(4))
+
+    cb5 = pq_codebooks(emb, m=4, n_codes=16, iters=3)
+    assert qerr(cb5) <= qerr(cb) * (1 + 1e-9)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb, m=5, n_codes=16)
+
+
 def test_near_dup_clusters_transitive(spark):
     """Pairs (1,2) and (2,3) are ONE component labeled by its min id;
     isolated docs stay singletons; a long chain converges too."""
