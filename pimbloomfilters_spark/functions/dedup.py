@@ -970,6 +970,42 @@ def _global_dup_positions(df: DataFrame, k: int,
             .select(id_col, "pos"))
 
 
+def ngram_novelty(df: DataFrame, k: int = 13,
+                  tokens_col: str = "tokens",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, n_windows, n_novel, novelty_frac): per-document n-gram NOVELTY
+    — the fraction of a document's k-gram occurrences whose code was never
+    seen at an earlier (doc, pos) in corpus order. The duplication-analysis
+    complement of ExactSubstr removal (Lee et al. 2022 use exactly this
+    per-doc novel-fraction lens to quantify train-set memorization
+    pressure): a boilerplate-heavy or near-duplicate document scores low,
+    fresh content scores 1.0. Documents with fewer than ``k`` tokens have
+    no window and are absent from the output.
+
+    Scale shape: shares ``token_ngram_pos_codes``'s one-Arrow-scan
+    occurrence stream and the cluster-per-code discipline of
+    ``exact_substr_spans_global`` — the first-occurrence representative is
+    ONE window aggregate over the code partition (a code in f docs is an
+    f-row buffer, linear; O(f), never pairwise), then one groupBy on the
+    doc id. Counts are exact integers; the fraction is ONE int division —
+    bit-identical cross-engine. Reference analogue: none (SURVEY §2.4 —
+    the reference has no corpus ops)."""
+    from pyspark.sql import Window
+
+    occ = token_ngram_pos_codes(df, k, tokens_col, id_col)
+    wc = Window.partitionBy("code")
+    me = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    flagged = occ.withColumn("_rep", F.min(me).over(wc))
+    return (
+        flagged.groupBy(id_col)
+        .agg(F.count("*").alias("n_windows"),
+             F.sum(((F.col(id_col) == F.col("_rep.d")) &
+                    (F.col("pos") == F.col("_rep.p"))).cast("long"))
+             .alias("n_novel"))
+        .withColumn("novelty_frac", F.col("n_novel") / F.col("n_windows"))
+    )
+
+
 def exact_substr_spans_global(df: DataFrame, k: int = 13,
                               min_span: int | None = None,
                               tokens_col: str = "tokens",

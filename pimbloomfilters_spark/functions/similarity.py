@@ -666,6 +666,98 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "rank"))
 
 
+def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               n_centroids: int = 16, nprobe: int = 3,
+               m: int = 4, n_codes: int = 16, iters: int = 2,
+               centroids: np.ndarray | None = None,
+               codebooks: np.ndarray | None = None,
+               exclude_self: bool = True) -> DataFrame:
+    """(query_id, neighbor_id, rank): IVF-PQ — the production ANN shape at
+    10^12 vectors (Jégou et al. 2011 §V): the IVF coarse quantizer routes
+    each query to its ``nprobe`` nearest cells, and the scan ranks ONLY
+    those cells' vectors, in the compressed domain via the PQ ADC tables —
+    candidates ~ nprobe/n_centroids of the corpus and the scan reads m-int
+    codes, never raw vectors. Simplification vs the paper: codes quantize
+    the RAW vectors, not per-cell residuals (one shared codebook set; the
+    residual variant needs a per-cell table rebuild per query and buys
+    accuracy only at much larger n_centroids).
+
+    One fused mapInArrow pass assigns cells AND encodes (corpus scanned
+    once); the search scan emits per-partition local top-k per query (same
+    map-side-combine shape as ``pq_topk``). Pass ``centroids`` /
+    ``codebooks`` to reuse trained quantizers (train-once/query-many)."""
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, id_col, n_centroids, iters)
+    if codebooks is None:
+        codebooks = pq_codebooks(df, vec_col, id_col, m, n_codes,
+                                 iters=iters)
+    cents = centroids
+    m, _k_cb, dsub = codebooks.shape
+    dim = m * dsub
+    cb = codebooks
+
+    def _cell_and_codes(batches):
+        for b in batches:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            xs = _batch_matrix(b.column(1), dim)
+            cell = np.argmax(_normalize(xs) @ cents.T, axis=1)
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for s in range(m):
+                codes[:, s] = np.argmin(
+                    _sub_d2(xs[:, s * dsub:(s + 1) * dsub], cb[s]), axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(cell.astype(np.int32)),
+                 pa.FixedSizeListArray.from_arrays(
+                     pa.array(codes.ravel()), m).cast(pa.list_(pa.int32()))],
+                names=["_id", "cell", "codes"])
+
+    encoded = df.select(id_col, vec_col).mapInArrow(
+        _cell_and_codes, "_id long, cell int, codes array<int>")
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    q_cells = np.argsort(-(_normalize(qm) @ cents.T), axis=1)[:, :nprobe]
+    tables = np.stack([
+        np.stack([_sub_d2(qm[:, s * dsub:(s + 1) * dsub], cb[s])[qi]
+                  for s in range(m)])
+        for qi in range(len(q_ids))])
+    excl = exclude_self
+
+    def _scan(batches):
+        for b in batches:
+            ids = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            cell = np.asarray(b.column(1).to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+            cd = np.asarray(b.column(2).flatten().to_numpy(
+                zero_copy_only=False), dtype=np.int64).reshape(-1, m)
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(cell, q_cells[qi])
+                if excl:
+                    mask &= ids != qid
+                if not mask.any():
+                    continue
+                cand_ids, cc = ids[mask], cd[mask]
+                adc = tables[qi, 0][cc[:, 0]]
+                for s in range(1, m):
+                    adc = adc + tables[qi, s][cc[:, s]]
+                top = np.lexsort((cand_ids, adc))[:k]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.full(len(top), qid)),
+                     pa.array(cand_ids[top]), pa.array(adc[top])],
+                    names=["query_id", "neighbor_id", "_adc"])
+
+    local = encoded.mapInArrow(
+        _scan, "query_id long, neighbor_id long, _adc double")
+    w = Window.partitionBy("query_id").orderBy("_adc", "neighbor_id")
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def embedding_group_stats(df: DataFrame, group_col: str = "label",
                           vec_col: str = "embedding") -> DataFrame:
     """(group, n_vectors, centroid array<double>, centroid_norm, mean_norm):

@@ -2006,7 +2006,8 @@ _register_pipeline_catalog()
 # changed this round, then core-sketch repeats as window filler.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 6
-    "segment_repetition", "epoch_shuffle", "pq_topk",
+    "segment_repetition", "epoch_shuffle", "pq_topk", "ngram_novelty",
+    "ivfpq_topk",
     "substr_global_spans", "substr_dedup_global",
     "session_stream_parity", "profile_stream_parity",
     "bpe_first_merge", "bpe_merges", "bpe_apply_one", "chunk_dedup",

@@ -684,6 +684,56 @@ spans AS (SELECT * FROM gspans)""" +
             _substr_removal_tail("doc_id", "start"))
 
 
+_NOVELTY_K = 8
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document k-gram novelty over the plain token table (no planted
+    twins — the corpus's own repetition is the signal): exact window
+    counts + first-occurrence counts, fraction one int division."""
+    tok = token_table(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return dedup.ngram_novelty(tok, k=_NOVELTY_K)
+
+
+def _novelty_oracle() -> str:
+    from ..functions.text import fp_coefficients
+    from ..sources.tables import TOKENS_ORACLE_CTE
+
+    k = _NOVELTY_K
+    coeffs = fp_coefficients(k)
+    return TOKENS_ORACLE_CTE + f""",
+seqs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list(token_id ORDER BY pos) AS toks, count(*) AS n_tok
+  FROM tok GROUP BY doc_id
+),
+occ AS (
+  SELECT doc_id, p AS pos,
+         CAST(list_sum(list_transform(generate_series(0, {k - 1}),
+              i -> (CAST(toks[p + i] AS BIGINT) * ({coeffs})[i + 1])
+                   % 2147483647)) AS BIGINT) % 2147483647 AS code
+  FROM seqs,
+       LATERAL (SELECT unnest(generate_series(1, n_tok - {k - 1})) AS p) g
+  WHERE n_tok >= {k}
+),
+rep AS (
+  SELECT code, min(doc_id * 4294967296 + pos) AS rk FROM occ GROUP BY code
+),
+counts AS (
+  SELECT o.doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN o.doc_id * 4294967296 + o.pos = rep.rk
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM occ o JOIN rep USING (code)
+  GROUP BY o.doc_id
+)
+SELECT doc_id, n_windows, n_novel,
+       n_novel / n_windows AS novelty_frac
+FROM counts
+"""
+
+
 _BPE_SCHEMA = "merge_idx long, a long, b long, new_id long, cnt long"
 
 
@@ -1227,6 +1277,25 @@ _ORACLE_ANN = ("SELECT TRUE AS recall_ge_floor, "
                "CAST(10 AS BIGINT) AS n_queries")
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse-quantizer routing + compressed-domain ADC ranking —
+    the 10^12-vector ANN shape (candidates ~ nprobe/n_centroids of the
+    corpus, scan reads m-int codes, never raw vectors). Gated by the same
+    planted-near-dup recall-floor protocol as ``ann_lsh_topk``/``ivf_topk``;
+    measured 10/10 at sf0.001/0.01/0.1 (deterministic construction,
+    frozen)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _planted_queries(spark, emb)
+    got = similarity.ivfpq_topk(emb, queries, k=5, n_centroids=16, nprobe=3,
+                                m=4, n_codes=16, iters=2)
+    found = got.filter(
+        F.col("neighbor_id") == F.col("query_id") - 100_000).count()
+    return spark.createDataFrame(
+        [(bool(found >= _ANN_RECALL_FLOOR), 10)],
+        "recall_ge_floor boolean, n_queries bigint",
+    )
+
+
 def _planted_queries(spark: SparkSession, emb: DataFrame):
     """10 deterministic near-duplicate queries (splitmix noise, cos ~0.995
     to their source vector vec_id = query_id - 100000)."""
@@ -1637,10 +1706,18 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(
         q_ann_lsh_topk, _ORACLE_ANN,
         "multiprobe LSH retrieves planted near-dup sources above recall floor"),
+    "ngram_novelty": QuerySpec(
+        q_ngram_novelty, _novelty_oracle(),
+        "per-doc k-gram novelty: first-occurrence fraction in corpus "
+        "order, cluster-per-code (O(f)) discipline"),
     "pq_topk": QuerySpec(
         q_pq_topk, _ORACLE_PQ_TOPK,
         "product-quantization ADC top-5: compressed-domain ANN, ranks "
         "bit-exact vs the SQL left-fold oracle (not a recall floor)"),
+    "ivfpq_topk": QuerySpec(
+        q_ivfpq_topk, _ORACLE_ANN,
+        "IVF-PQ: coarse routing + ADC over codes — planted-near-dup "
+        "recall floor, the trillion-vector ANN shape"),
     "ivf_topk": QuerySpec(
         q_ivf_topk, _ORACLE_ANN,
         "IVF coarse-quantizer ANN retrieves planted sources above recall floor"),

@@ -524,6 +524,36 @@ def test_pq_topk_codes_reuse_and_lloyd(spark, emb):
         pq_codebooks(emb, m=5, n_codes=16)
 
 
+def test_ivfpq_recall_and_quantizer_reuse(spark, emb):
+    """IVF-PQ retrieves planted near-dup sources (same protocol as the
+    LSH/IVF ANN tests), and passing pre-trained centroids+codebooks
+    returns exactly the train-inline result."""
+    from pimbloomfilters_spark.functions.similarity import (
+        ivf_centroids, ivfpq_topk, pq_codebooks)
+
+    rows = emb.select("vec_id", "embedding").limit(20).collect()
+    rng = np.random.default_rng(9)
+    planted = [
+        (int(r["vec_id"]) + 100_000,
+         (np.array(r["embedding"], dtype=np.float64)
+          + rng.normal(0, 0.03, 64) * np.abs(
+              np.array(r["embedding"])).mean()).astype(float).tolist())
+        for r in rows
+    ]
+    queries = spark.createDataFrame(planted,
+                                    "vec_id long, embedding array<float>")
+    cents = ivf_centroids(emb, n_centroids=16, iters=2)
+    cb = pq_codebooks(emb, m=4, n_codes=16, iters=2)
+    got = ivfpq_topk(emb, queries, k=5, nprobe=3,
+                     centroids=cents, codebooks=cb).collect()
+    found = {r["query_id"] for r in got
+             if r["neighbor_id"] == r["query_id"] - 100_000}
+    assert len(found) >= 18, f"planted-neighbor recall {len(found)}/20"
+    again = ivfpq_topk(emb, queries, k=5, nprobe=3,
+                       centroids=cents, codebooks=cb).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_near_dup_clusters_transitive(spark):
     """Pairs (1,2) and (2,3) are ONE component labeled by its min id;
     isolated docs stay singletons; a long chain converges too."""
@@ -1254,6 +1284,34 @@ def test_remove_token_spans_null_tokens_with_spans(spark):
     assert got[1] == (None, 0, 0)   # NULL + spans: nothing to remove
     assert got[2] == ([5, 7], 2, 1)
     assert got[3] == (None, 0, 0)   # NULL, no spans: same contract
+
+
+def test_ngram_novelty_planted(spark):
+    """Novelty = first-occurrence fraction in (doc, pos) corpus order:
+    a fresh doc scores 1.0, an exact duplicate of an earlier doc scores
+    0.0, a half-copied doc scores in between with exact counts, within-doc
+    repeats count once, and sub-k docs are absent."""
+    A = list(range(10, 30))                 # 20 tokens
+    fresh = list(range(900, 920))
+    docs = [
+        (1, A),                             # all novel: 16 windows (k=5)
+        (2, A),                             # exact dup: 0 novel
+        (3, A[:10] + fresh),                # windows over the copied prefix dup
+        (4, list(range(50, 55)) * 2),       # within-doc repeat of one 5-gram
+        (5, [1, 2, 3]),                     # < k -> absent
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r.asDict() for r in
+           dedup.ngram_novelty(df, k=5).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["n_windows"], got[1]["n_novel"]) == (16, 16)
+    assert (got[2]["n_windows"], got[2]["n_novel"]) == (16, 0)
+    # doc 3: 26 windows; those fully inside A[:10] (start 1..6) are dups
+    assert (got[3]["n_windows"], got[3]["n_novel"]) == (26, 20)
+    assert abs(got[3]["novelty_frac"] - 20 / 26) < 1e-15
+    # doc 4 = [50..54, 50..54]: 6 windows; the only repeat of an earlier
+    # window is the final [50..54] at pos 6 (pos-1 copy is first) -> 5 novel
+    assert (got[4]["n_windows"], got[4]["n_novel"]) == (6, 5)
 
 
 def test_exact_substr_spans_global_planted(spark):
