@@ -10,8 +10,9 @@ Runs the full pre-tokenized pipeline with the library's public surface:
   4b. cross-document substring dedup (ExactSubstr find + remove)
   5. token-shingle MinHash near-dup removal
   6. per-source token-budget mixture sample
-  7. context-window packing stats of the final mixture
-  8. Bloom filter of the final corpus' tokens (for later membership probes)
+  7. deterministic epoch shuffle into balanced training shards
+  8. context-window packing stats of the final mixture
+  9. Bloom filter of the final corpus' tokens (for later membership probes)
 
 Usage: python examples/training_data_pipeline.py [sf_dir]
 """
@@ -28,12 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from pimbloomfilters_spark.functions.dedup import (  # noqa: E402
-    exact_substr_spans_global, remove_token_spans, token_minhash_near_dup_pairs,
-    token_ngram_decontaminate)
+    exact_substr_spans_global, ngram_novelty, remove_token_spans,
+    token_minhash_near_dup_pairs, token_ngram_decontaminate)
 from pimbloomfilters_spark.functions.packing import packing_stats  # noqa: E402
 from pimbloomfilters_spark.functions.text import token_repetition_stats  # noqa: E402
 from pimbloomfilters_spark.operators import build_sketch  # noqa: E402
-from pimbloomfilters_spark.operators.sampling import mixture_sample_tokens  # noqa: E402
+from pimbloomfilters_spark.operators.sampling import (  # noqa: E402
+    epoch_shuffle, mixture_sample_tokens)
 from pimbloomfilters_spark.session import get_spark  # noqa: E402
 from pimbloomfilters_spark.sketches import make_sketch  # noqa: E402
 from pimbloomfilters_spark.sources.tables import token_table, tokens_exploded  # noqa: E402
@@ -79,6 +81,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # CORPUS-GLOBAL cluster-per-code mode (O(f) per repeated run, the
     # scale-safe path; the pairwise exact_substr_spans reporter is for
     # targeted pair analysis only)
+    # duplication pressure BEFORE the cut: mean first-occurrence fraction
+    report["mean_novelty_pre"] = round(ngram_novelty(kept, k=13).agg(
+        F.avg("novelty_frac")).collect()[0][0], 4)
     spans = exact_substr_spans_global(kept, k=13, min_span=15)
     # cache: the span window + removal would otherwise re-execute for
     # every downstream action that re-evaluates `kept` (same hazard the
@@ -100,6 +105,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     budgets = {r["source"]: 500 for r in surv.select("source").distinct().collect()}
     mixed = mixture_sample_tokens(surv, budgets, "doc_id")
     report["mixture_docs"] = mixed.count()
+
+    # deterministic epoch shuffle: reproducible global order, balanced
+    # round-robin shards (the training-reader handoff)
+    sharded = epoch_shuffle(mixed, "doc_id", seed=0, n_shards=4)
+    report["shard_sizes"] = [
+        int(r["n"]) for r in sharded.groupBy("shard")
+        .agg(F.count("*").alias("n")).orderBy("shard").collect()]
+
     report["packing"] = [r.asDict() for r in
                          packing_stats(mixed, 256).orderBy("source")
                          .limit(3).collect()]

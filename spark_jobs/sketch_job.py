@@ -123,6 +123,17 @@ def main() -> int:
     m.add_argument("--stratum-col", default="source")
     m.add_argument("--out", required=True)
 
+    sh = sub.add_parser(
+        "shuffle",
+        help="deterministic epoch shuffle: global md5(seed|key) order, "
+             "round-robin shards balanced to +-1; writes the input plus "
+             "(shard, pos, pos_in_shard)")
+    sh.add_argument("--input", required=True)
+    sh.add_argument("--key-col", default="doc_id")
+    sh.add_argument("--seed", type=int, default=0)
+    sh.add_argument("--n-shards", type=int, default=8)
+    sh.add_argument("--out", required=True)
+
     s = sub.add_parser(
         "search",
         help="BM25 top-k docs for a token-id query over a (doc_id, "
@@ -380,6 +391,19 @@ def main() -> int:
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"out": args.out, "mode": args.mode, "rows": n}))
+        spark.stop()
+        return 0
+
+    if args.cmd == "shuffle":
+        from pimbloomfilters_spark.operators.sampling import epoch_shuffle
+
+        out = epoch_shuffle(df, args.key_col, seed=args.seed,
+                            n_shards=args.n_shards)
+        out.write.mode("overwrite").parquet(args.out)
+        sizes = sorted(r["shard"] for r in
+                       spark.read.parquet(args.out).select("shard").collect())
+        print(json.dumps({"out": args.out, "rows": len(sizes),
+                          "n_shards": args.n_shards}))
         spark.stop()
         return 0
 
