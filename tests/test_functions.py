@@ -747,6 +747,37 @@ def test_segment_repetition_stats(spark):
         segment_repetition_stats(df, width=0)
 
 
+def test_segment_repetition_random_reference(spark):
+    """Randomized cross-check: the codegen fold must equal a pure-Python
+    Counter reference on adversarial word soup (duplicate-heavy alphabet,
+    empty strings, 1-char and 300-word docs) at several widths."""
+    import random
+    from collections import Counter
+
+    from pimbloomfilters_spark.functions.text import segment_repetition_stats
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "d"]  # tiny alphabet -> many duplicates
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.choice([1, 2, 7, 40, 300]))))
+            for i in range(60)] + [(999, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref(text, w):
+        ws = text.split(" ")
+        segs = [" ".join(ws[g * w:(g + 1) * w])
+                for g in range((len(ws) + w - 1) // w)]
+        cnt = Counter(segs)
+        dup = [s for s in segs if cnt[s] > 1]
+        return (len(segs), len(dup), sum(map(len, segs)), sum(map(len, dup)))
+
+    for w in (1, 2, 3):
+        got = {r["doc_id"]: (r["n_segments"], r["n_dup_segments"],
+                             r["chars_total"], r["chars_dup"])
+               for r in segment_repetition_stats(df, width=w).collect()}
+        assert got == {i: ref(t, w) for i, t in docs}
+
+
 def test_cosine_topk_blocked_equals_bruteforce(spark, emb):
     """The asymmetric block-pair top-k (no driver collect) must return
     exactly the broadcast brute-force ranks — the oracle-gate property."""

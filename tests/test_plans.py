@@ -220,6 +220,22 @@ def test_token_repetition_no_shuffle(spark, sf_dir):
     assert "Exchange" not in _plan(token_repetition_stats(df))
 
 
+def test_pq_topk_single_bounded_exchange(spark, sf_dir):
+    """The PQ ADC scan emits per-partition local top-k rows; the ONLY
+    exchange in the search plan is the hash partition on query_id for the
+    finishing window (partitions x k x queries rows) — never a shuffle of
+    codes or vectors, and never a single-partition exchange."""
+    from pimbloomfilters_spark.functions.similarity import (
+        pq_codebooks, pq_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebooks(emb, iters=0)
+    plan = _plan(pq_topk(emb, emb.filter("vec_id < 3"), k=3, codebooks=cb))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(query_id" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_epoch_shuffle_no_single_task_window(spark):
     """The global rank in epoch_shuffle comes from per-bucket windows +
     broadcast offsets — the plan must have NO single-partition exchange
