@@ -179,3 +179,55 @@ def packing_stats(df: DataFrame, ctx_len: int,
         .select(by, "n_docs", "total_tok", "n_windows", "tail_padding",
                 "boundary_docs")
     )
+
+
+def length_buckets(df: DataFrame, n_buckets: int,
+                   n_tok_col: str = "n_tok",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Adds ``bucket`` (1-based): equal-size sequence-LENGTH buckets in
+    (n_tok, id) order — the length-bucketed batching stage of a training
+    pipeline (group similar-length sequences so per-batch padding waste is
+    minimal; the window/bin packers here then pack within a bucket).
+    Semantics are exactly SQL ``ntile(n) OVER (ORDER BY n_tok, id)``: the
+    first ``total % n`` buckets hold ``ceil(total/n)`` rows, the rest
+    ``floor(total/n)`` — deterministic, engine-portable, and stable
+    under any partitioning.
+
+    Scale shape: the global rank comes from the same no-single-task-window
+    construction as ``epoch_shuffle``/``vocab_table`` — rows bucket by
+    their OWN length value (trivially monotone in the sort key), each
+    length group is window-ranked in parallel (ties by id), and the
+    exclusive prefix sum of per-length counts (one tiny aggregate over
+    distinct lengths — bounded by the context-length ceiling, collected
+    and broadcast) lifts local ranks to global. ntile() itself would plan
+    a SinglePartition exchange at any corpus size. Reference analogue:
+    none (SURVEY §2.4 — the reference has no corpus ops)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    spark = df.sparkSession
+    sizes = sorted((r["_l"], r["cnt"]) for r in
+                   df.select(F.col(n_tok_col).alias("_l"))
+                   .groupBy("_l").agg(F.count("*").alias("cnt")).collect())
+    offsets, acc = [], 0
+    for length, cnt in sizes:
+        offsets.append((length, acc))
+        acc += cnt
+    total = acc
+    if total == 0:
+        return df.withColumn("bucket", F.lit(None).cast("int"))
+    off = F.broadcast(spark.createDataFrame(offsets, "_l long, _off long"))
+    local = F.row_number().over(
+        Window.partitionBy(n_tok_col).orderBy(id_col))
+    # exact ntile arithmetic (integer div only) from the 1-based global rank
+    small = max(total // n_buckets, 1)    # rows per tail bucket
+    big = total // n_buckets + 1          # rows in each of the first `rem`
+    rem = total % n_buckets               # buckets (they hold one extra row)
+    cut = rem * big
+    bucket = F.expr(
+        f"CAST(IF(_rank <= {cut}, (_rank - 1) div {big},"
+        f" {rem} + (_rank - 1 - {cut}) div {small}) + 1 AS INT)")
+    return (df.withColumn("_l", F.col(n_tok_col).cast("long"))
+            .join(off, "_l")
+            .withColumn("_rank", (F.col("_off") + local).cast("long"))
+            .withColumn("bucket", bucket)
+            .drop("_l", "_off", "_rank"))

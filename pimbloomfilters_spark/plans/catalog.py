@@ -2007,7 +2007,7 @@ _register_pipeline_catalog()
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 6
     "segment_repetition", "epoch_shuffle", "pq_topk", "ngram_novelty",
-    "ivfpq_topk",
+    "ivfpq_topk", "length_buckets",
     "substr_global_spans", "substr_dedup_global",
     "session_stream_parity", "profile_stream_parity",
     "bpe_first_merge", "bpe_merges", "bpe_apply_one", "chunk_dedup",

@@ -734,6 +734,32 @@ FROM counts
 """
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for padding-efficient batching: exact
+    ntile(8) semantics in (n_tok, doc_id) order WITHOUT ntile's
+    single-partition window (distributed rank by length value + exclusive
+    offsets)."""
+    from ..functions.packing import length_buckets
+
+    tok = token_table(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return length_buckets(tok, 8).select("doc_id", "n_tok", "bucket")
+
+
+def _length_buckets_oracle() -> str:
+    from ..sources.tables import TOKENS_ORACLE_CTE
+
+    return TOKENS_ORACLE_CTE + """,
+seqs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS INT) AS n_tok
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tok,
+       CAST(ntile(8) OVER (ORDER BY n_tok, doc_id) AS INT) AS bucket
+FROM seqs
+"""
+
+
 _BPE_SCHEMA = "merge_idx long, a long, b long, new_id long, cnt long"
 
 
@@ -1706,6 +1732,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(
         q_ann_lsh_topk, _ORACLE_ANN,
         "multiprobe LSH retrieves planted near-dup sources above recall floor"),
+    "length_buckets": QuerySpec(
+        q_length_buckets, _length_buckets_oracle(),
+        "sequence-length bucketing (exact ntile semantics, no "
+        "single-task window) for padding-efficient batching"),
     "ngram_novelty": QuerySpec(
         q_ngram_novelty, _novelty_oracle(),
         "per-doc k-gram novelty: first-occurrence fraction in corpus "

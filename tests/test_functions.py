@@ -747,6 +747,27 @@ def test_segment_repetition_stats(spark):
         segment_repetition_stats(df, width=0)
 
 
+def test_length_buckets_ntile_parity(spark):
+    """length_buckets must equal SQL ntile(n) OVER (ORDER BY n_tok, id)
+    exactly — including the first-rem-buckets-get-one-extra edge — at
+    several (total, n_buckets) shapes, and be partitioning-invariant."""
+    from pyspark.sql import Window as W
+
+    from pimbloomfilters_spark.functions.packing import length_buckets
+
+    for n, nb, parts in ((17, 4, 3), (16, 4, 1), (3, 5, 2), (100, 7, 9)):
+        df = spark.range(n).repartition(parts).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 37 % 23).alias("n_tok"))
+        got = {r["doc_id"]: r["bucket"]
+               for r in length_buckets(df, nb).collect()}
+        ref = {r["doc_id"]: r["b"] for r in df.select(
+            "doc_id", F.ntile(nb).over(
+                W.orderBy("n_tok", "doc_id")).alias("b")).collect()}
+        assert got == ref, (n, nb)
+    with pytest.raises(ValueError, match="n_buckets"):
+        length_buckets(df, 0)
+
+
 def test_segment_repetition_random_reference(spark):
     """Randomized cross-check: the codegen fold must equal a pure-Python
     Counter reference on adversarial word soup (duplicate-heavy alphabet,

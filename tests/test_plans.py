@@ -247,6 +247,21 @@ def test_epoch_shuffle_no_single_task_window(spark):
     assert "hashpartitioning(_bkt" in plan
 
 
+def test_length_buckets_no_single_task_window(spark):
+    """length_buckets gives exact ntile semantics but must never plan
+    ntile's SinglePartition exchange — ranks come from per-length windows
+    + broadcast offsets."""
+    from pyspark.sql import functions as F
+
+    from pimbloomfilters_spark.functions.packing import length_buckets
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") % 11).alias("n_tok"))
+    plan = _plan(length_buckets(df, 4))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(n_tok" in plan
+
+
 def test_segment_repetition_no_shuffle(spark):
     """The duplicate-segment panel is per-row array math — its plan must
     contain NO Exchange at all (embarrassingly parallel scan)."""
