@@ -195,6 +195,43 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation from two CMS sketches (Cormode &
+    Muthukrishnan 2005 §4.2): |A ⋈ B| = sum_k cntA(k)*cntB(k) estimated by
+    the row-wise sketch inner product — the what-will-this-shuffle-cost
+    planner primitive; both sides sketched in one mergeable-partials pass
+    each, the estimate is O(d*w) with NO data movement. Gate: exact join
+    size (via per-key count products — the join itself would be ~1e10
+    rows even at sf0.01) + the published one-sided bound booleans."""
+    tok = tokens_exploded(spark, sf_dir)
+    a = tok.filter(F.col("source") == "src0")
+    b = tok.filter(F.col("source") == "src1")
+    cms = functools.partial(make_sketch, "cms", eps=1e-4, delta=1e-3)
+    ska, _ = build_sketch(a, "token_id", cms)
+    skb, _ = build_sketch(b, "token_id", cms)
+    est = ska.inner_product(skb)
+    ca = a.groupBy("token_id").agg(F.count("*").alias("ca"))
+    cb = b.groupBy("token_id").agg(F.count("*").alias("cb"))
+    exact = (ca.join(cb, "token_id")
+             .agg(F.sum(F.col("ca") * F.col("cb"))).collect()[0][0]) or 0
+    return spark.createDataFrame(
+        [(int(exact),
+          bool(est >= exact),
+          bool(est <= exact + ska.inner_product_bound(skb)))],
+        "exact_join_size bigint, est_ge_true boolean, est_le_bound boolean")
+
+
+_ORACLE_CMS_JOIN = TOKENS_ORACLE_CTE + """
+, a AS (SELECT token_id, count(*) AS ca FROM tok
+        WHERE source = 'src0' GROUP BY token_id),
+b AS (SELECT token_id, count(*) AS cb FROM tok
+      WHERE source = 'src1' GROUP BY token_id)
+SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS exact_join_size,
+       TRUE AS est_ge_true, TRUE AS est_le_bound
+FROM a JOIN b USING (token_id)
+"""
+
+
 _ORACLE_CMS = TOKENS_ORACLE_CTE + """
 SELECT token_id, CAST(count(*) AS BIGINT) AS cnt,
        TRUE AS cms_ge_true, TRUE AS cms_le_bound
@@ -1655,6 +1692,11 @@ CATALOG: dict[str, QuerySpec] = {
         q_hll_distinct_docs, _ORACLE_HLL_DOCS,
         "HLL cardinality of doc ids within published bound",
     ),
+    "cms_join_size": QuerySpec(
+        q_cms_join_size, _ORACLE_CMS_JOIN,
+        "equi-join cardinality from two CMS sketches (row-wise inner "
+        "product): never under, within eps*Na*Nb - the pre-shuffle "
+        "planner estimate"),
     "cms_heavy_hitters": QuerySpec(
         q_cms_heavy_hitters, _ORACLE_CMS,
         "count-min top-10 heavy hitters: one-sided error within eps*N",
@@ -2007,7 +2049,7 @@ _register_pipeline_catalog()
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 6
     "segment_repetition", "epoch_shuffle", "pq_topk", "ngram_novelty",
-    "ivfpq_topk", "length_buckets",
+    "ivfpq_topk", "length_buckets", "cms_join_size",
     "substr_global_spans", "substr_dedup_global",
     "session_stream_parity", "profile_stream_parity",
     "bpe_first_merge", "bpe_merges", "bpe_apply_one", "chunk_dedup",

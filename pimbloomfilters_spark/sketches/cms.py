@@ -75,6 +75,28 @@ class CountMinSketch(Sketch):
         self.total += other.total
         return self
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Estimate of sum_k count_self(k) * count_other(k) — the equi-JOIN
+        CARDINALITY (with multiplicity) between the two sketched key
+        streams, Cormode & Muthukrishnan 2005 §4.2: per row the dot product
+        of the two count rows over-counts by hash collisions only, so the
+        min over the d rows NEVER under-estimates and over-estimates by at
+        most eps * N_self * N_other with probability >= 1 - delta. The
+        join-size estimator a distributed planner wants BEFORE committing
+        to a shuffle strategy: both sides are sketched in one pass each
+        (mergeable partials), the estimate is O(d*w) — no data moves.
+        Requires identical geometry AND seed (same row hashes), like
+        ``merge``."""
+        self._check_mergeable(other)
+        return int(min(
+            int(np.dot(self._table[d], other._table[d]))
+            for d in range(self.depth)))
+
+    def inner_product_bound(self, other: "CountMinSketch") -> int:
+        """eps * N_self * N_other — the published additive over-estimate
+        ceiling for ``inner_product`` (holds w.p. >= 1 - delta)."""
+        return int(math.ceil(self.eps * self.total * other.total))
+
     def config(self) -> dict[str, Any]:
         return {"eps": self.eps, "delta": self.delta, "seed": self.seed,
                 "width": self.width, "depth": self.depth}

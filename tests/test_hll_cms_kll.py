@@ -64,6 +64,38 @@ def test_cms_one_sided_and_bounded():
     assert violations <= max(3, c.delta * len(uniq) * 10)
 
 
+def test_cms_inner_product_join_size():
+    """Sketch inner product estimates sum_k cntA(k)*cntB(k): never under,
+    within eps*Na*Nb, symmetric, and geometry/seed-checked."""
+    import pytest
+
+    rng = np.random.default_rng(7)
+    va = rng.zipf(1.4, size=50_000)
+    va = va[va < 10_000].astype(np.int64)
+    vb = rng.zipf(1.4, size=60_000)
+    vb = vb[vb < 10_000].astype(np.int64)
+    a = CountMinSketch(eps=1e-3, delta=1e-3)
+    b = CountMinSketch(eps=1e-3, delta=1e-3)
+    a.insert_bulk(va)
+    b.insert_bulk(vb)
+    ka, ca = np.unique(va, return_counts=True)
+    kb, cb = np.unique(vb, return_counts=True)
+    common, ia, ib = np.intersect1d(ka, kb, return_indices=True)
+    exact = int((ca[ia].astype(object) * cb[ib]).sum())
+    est = a.inner_product(b)
+    assert est >= exact
+    assert est <= exact + a.inner_product_bound(b)
+    assert est == b.inner_product(a)
+    # disjoint small key sets at this width: zero collisions -> exact
+    x, y = CountMinSketch(eps=1e-3), CountMinSketch(eps=1e-3)
+    x.insert_bulk(np.array([1, 1, 2], dtype=np.int64))
+    y.insert_bulk(np.array([1, 2, 2, 3], dtype=np.int64))
+    # x: {1:2, 2:1}; y: {1:1, 2:2, 3:1} -> 2*1 + 1*2 = 4
+    assert x.inner_product(y) == 4
+    with pytest.raises(ValueError):
+        x.inner_product(CountMinSketch(eps=1e-2))
+
+
 def test_cms_merge_equals_concat():
     a, b = CountMinSketch(eps=1e-3, delta=1e-2), CountMinSketch(eps=1e-3, delta=1e-2)
     a.insert_bulk(np.arange(1000, dtype=np.int64))
