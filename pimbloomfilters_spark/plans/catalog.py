@@ -2046,13 +2046,20 @@ _register_pipeline_catalog()
 # round-6 gates, then the 32 gates whose last driver row was round 4
 # (displaced by the round-5 window), then the 3 substr gates whose code
 # changed this round, then core-sketch repeats as window filler.
+# The head must stay at <= 50 entries (the driver's window): 18 new
+# round-6 gates + the 32 round-4-displaced = 50 exactly. Two round-6
+# gates with the WEAKEST per-slot driver value are deliberately listed
+# after the displaced block: `bpe_merges` (rows-only — no oracle, and its
+# machinery is oracle-anchored by bpe_first_merge + bpe_apply_one) and
+# `ivfpq_topk` (constant-boolean recall oracle; hash-verified green
+# locally at all 3 scales this round, see SURVEY §8).
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 6
     "segment_repetition", "epoch_shuffle", "pq_topk", "ngram_novelty",
-    "ivfpq_topk", "length_buckets", "cms_join_size",
+    "length_buckets", "cms_join_size",
     "substr_global_spans", "substr_dedup_global",
     "session_stream_parity", "profile_stream_parity",
-    "bpe_first_merge", "bpe_merges", "bpe_apply_one", "chunk_dedup",
+    "bpe_first_merge", "bpe_apply_one", "chunk_dedup",
     "vocab_truncate", "train_split", "semantic_dedup", "pii_redact",
     "sample_stream_parity",
     # last driver row was round 4 (the 32 displaced by the round-5 window)
@@ -2067,6 +2074,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "top_customers", "user_sessions", "weighted_sample",
     "events_hourly_counts", "events_user_distinct", "uniform_sample",
     "stratified_sample",
+    # round-6 gates intentionally below the 50-line (see note above)
+    "bpe_merges", "ivfpq_topk",
     # touched this round (remove_token_spans vectorization, substr family)
     "substr_dedup_clean", "exact_substr_spans", "substr_dup_clusters",
     # core sketch surface repeats to fill the ~50 window
