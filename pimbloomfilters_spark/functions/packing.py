@@ -205,6 +205,10 @@ def length_buckets(df: DataFrame, n_buckets: int,
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     spark = df.sparkSession
+    # NULL lengths are dropped (ntile over a NULL sort key would order them
+    # engine-specifically; and the Python offset sort below cannot compare
+    # None) — same explicit-NULL policy as epoch_shuffle.
+    df = df.filter(F.col(n_tok_col).isNotNull())
     sizes = sorted((r["_l"], r["cnt"]) for r in
                    df.select(F.col(n_tok_col).alias("_l"))
                    .groupBy("_l").agg(F.count("*").alias("cnt")).collect())

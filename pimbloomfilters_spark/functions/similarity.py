@@ -629,6 +629,9 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     if codes is None:
         codes = pq_encode(df, codebooks, vec_col, id_col)
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int")
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     # ADC tables: T[q, s, c] = exact left-fold d2(q's subvector s, code c)
@@ -717,6 +720,9 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
         _cell_and_codes, "_id long, cell int, codes array<int>")
 
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int")
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     q_cells = np.argsort(-(_normalize(qm) @ cents.T), axis=1)[:, :nprobe]

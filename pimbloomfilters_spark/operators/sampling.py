@@ -144,6 +144,11 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: int = 0,
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     spark = df.sparkSession
+    # NULL keys are dropped: they would all share one md5 (concat_ws skips
+    # nulls), making their relative order — and therefore pos — depend on
+    # partitioning. Keys should be UNIQUE for the same reason: equal keys
+    # tie in (hash, key) and their pos assignment is arbitrary between them.
+    df = df.filter(F.col(key_col).isNotNull())
     h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string")))
     # first two hex chars: 256 buckets, monotone in the hash's string order
     bkt = (F.ascii(F.substring("_h", 1, 1)) * 256

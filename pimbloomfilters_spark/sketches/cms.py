@@ -86,7 +86,9 @@ class CountMinSketch(Sketch):
         to a shuffle strategy: both sides are sketched in one pass each
         (mergeable partials), the estimate is O(d*w) — no data moves.
         Requires identical geometry AND seed (same row hashes), like
-        ``merge``."""
+        ``merge``. Row dot products are exact in int64 up to ~9.2e18 —
+        ample headroom: a meaningful estimate needs eps*Na*Nb below that
+        anyway (Na*Nb = 1e22 would make even the BOUND vacuous)."""
         self._check_mergeable(other)
         return int(min(
             int(np.dot(self._table[d], other._table[d]))
