@@ -62,6 +62,38 @@ SELECT doc_id, source, pos, token_id FROM tok
 """
 
 
+def q_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text -> tokens -> text identity over the WHOLE corpus — the north
+    rule's per-row token-array invariant, driver-verified: Spark
+    reconstructs every document from the token table (inverse vocab join,
+    position-ordered reassembly) and md5-compares with the original; the
+    oracle asserts the reconstruction MUST equal documents.text
+    verbatim."""
+    from ..sources.tables import vocab_table
+
+    tok = tokens_exploded(spark, sf_dir)
+    vocab = vocab_table(spark, sf_dir)
+    rebuilt = (
+        tok.join(F.broadcast(vocab), "token_id")
+        .groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda s: s["word"]), " ").alias("_rt"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (docs.join(rebuilt, "doc_id")
+            .select("doc_id", F.md5("text").alias("orig_md5"),
+                    F.md5("_rt").alias("roundtrip_md5"),
+                    (F.md5("text") == F.md5("_rt")).alias("match")))
+
+
+_ORACLE_DETOK = """
+SELECT doc_id, md5(text) AS orig_md5, md5(text) AS roundtrip_md5,
+       TRUE AS match
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # 2. Bloom membership (reference ops #2/#4: insert_bulk + contains_bulk)
 # --------------------------------------------------------------------------
@@ -1692,6 +1724,10 @@ CATALOG: dict[str, QuerySpec] = {
         q_hll_distinct_docs, _ORACLE_HLL_DOCS,
         "HLL cardinality of doc ids within published bound",
     ),
+    "detokenize_roundtrip": QuerySpec(
+        q_detokenize_roundtrip, _ORACLE_DETOK,
+        "text -> tokens -> text identity corpus-wide: the north rule's "
+        "per-row token-array invariant, md5-anchored"),
     "cms_join_size": QuerySpec(
         q_cms_join_size, _ORACLE_CMS_JOIN,
         "equi-join cardinality from two CMS sketches (row-wise inner "
@@ -2074,8 +2110,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "top_customers", "user_sessions", "weighted_sample",
     "events_hourly_counts", "events_user_distinct", "uniform_sample",
     "stratified_sample",
-    # round-6 gates intentionally below the 50-line (see note above)
-    "bpe_merges", "ivfpq_topk",
+    # round-6 gates intentionally below the 50-line (see note above;
+    # detokenize_roundtrip's invariant is also hash-anchored inside the
+    # windowed token_table_exploded gate, so it can wait a round)
+    "bpe_merges", "ivfpq_topk", "detokenize_roundtrip",
     # touched this round (remove_token_spans vectorization, substr family)
     "substr_dedup_clean", "exact_substr_spans", "substr_dup_clusters",
     # core sketch surface repeats to fill the ~50 window
