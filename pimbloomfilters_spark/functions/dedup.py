@@ -970,6 +970,47 @@ def _global_dup_positions(df: DataFrame, k: int,
             .select(id_col, "pos"))
 
 
+def dedup_against(df_new: DataFrame, df_old: DataFrame,
+                  text_col: str = "text", size2: int = 24,
+                  nb_hash: int = 8) -> DataFrame:
+    """Incremental-ingest dedup: the rows of ``df_new`` whose ``text_col``
+    content does NOT already appear in ``df_old`` — the production pattern
+    for growing a corpus shard-by-shard (dedup the new crawl against the
+    existing corpus WITHOUT re-scanning or re-shuffling the old corpus's
+    text). Within-batch duplicates are not touched (compose with
+    ``dedup_exact`` for that).
+
+    Scale shape — the ANTI-join complement of
+    ``operators.joins.bloom_runtime_filter_join``: a Bloom filter of the
+    old corpus's xxhash64 content hashes (KB-MB, built once per ingest,
+    mergeable partials) screens the new batch in a stateless map. The
+    no-false-negative guarantee makes bloom-NEGATIVE rows PROVABLY new —
+    they pass with ZERO join work, and at ingest most rows are new, so the
+    exact verification join (on the text itself, so 64-bit hash collisions
+    cannot drop a genuinely-new row) runs over only the bloom-positive
+    sliver. Output is EXACT at any filter geometry/FPR; geometry only
+    moves the prune rate. Reference analogue: the contains->insert
+    screening loop of the reference's membership use
+    (src/bloom_filter.hpp:40-76), lifted to corpus ingest."""
+    import functools
+
+    from ..operators import build_sketch
+    from ..operators.probe import probe_key_column
+    from ..sketches import make_sketch
+
+    old_h = df_old.select(F.xxhash64(text_col).alias("_h")).distinct()
+    bf, _ = build_sketch(
+        old_h, "_h",
+        functools.partial(make_sketch, "bloom", size2=size2, nb_hash=nb_hash))
+    flagged = probe_key_column(
+        df_new.withColumn("_h", F.xxhash64(text_col)), bf, "_h")
+    fresh = flagged.filter(~F.col("member"))
+    survivors = (flagged.filter(F.col("member"))
+                 .join(df_old.select(F.col(text_col).alias("_t")).distinct(),
+                       F.col(text_col) == F.col("_t"), "left_anti"))
+    return fresh.unionByName(survivors).drop("_h", "member")
+
+
 def ngram_novelty(df: DataFrame, k: int = 13,
                   tokens_col: str = "tokens",
                   id_col: str = "doc_id") -> DataFrame:

@@ -2113,7 +2113,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-6 gates intentionally below the 50-line (see note above;
     # detokenize_roundtrip's invariant is also hash-anchored inside the
     # windowed token_table_exploded gate, so it can wait a round)
-    "bpe_merges", "ivfpq_topk", "detokenize_roundtrip",
+    "bpe_merges", "ivfpq_topk", "detokenize_roundtrip", "incremental_ingest",
     # touched this round (remove_token_spans vectorization, substr family)
     "substr_dedup_clean", "exact_substr_spans", "substr_dup_clusters",
     # core sketch surface repeats to fill the ~50 window

@@ -684,6 +684,33 @@ spans AS (SELECT * FROM gspans)""" +
             _substr_removal_tail("doc_id", "start"))
 
 
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned incremental-ingest dedup: a new batch (every %3==0 doc
+    PLUS planted re-labeled copies of old docs) deduped against the
+    existing corpus; bloom-negative rows pass join-free (no-FN), positives
+    verify on the text itself — output exact at any FPR."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    planted = (docs.filter(F.col("doc_id") % 6 == 1)
+               .select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
+    new = (docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+           .unionByName(planted))
+    kept = dedup.dedup_against(new, old)
+    return kept.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+_ORACLE_INGEST = """
+WITH old AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 6 = 1
+)
+SELECT n.doc_id, md5(n.text) AS text_md5 FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)
+"""
+
+
 _NOVELTY_K = 8
 
 
@@ -1736,6 +1763,10 @@ PIPELINE_CATALOG: dict[str, QuerySpec] = {
         q_length_buckets, _length_buckets_oracle(),
         "sequence-length bucketing (exact ntile semantics, no "
         "single-task window) for padding-efficient batching"),
+    "incremental_ingest": QuerySpec(
+        q_incremental_ingest, _ORACLE_INGEST,
+        "bloom-pruned ingest dedup: new batch vs existing corpus, "
+        "no-FN passes join-free, positives verify on text - exact"),
     "ngram_novelty": QuerySpec(
         q_ngram_novelty, _novelty_oracle(),
         "per-doc k-gram novelty: first-occurrence fraction in corpus "

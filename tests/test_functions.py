@@ -1338,6 +1338,25 @@ def test_remove_token_spans_null_tokens_with_spans(spark):
     assert got[3] == (None, 0, 0)   # NULL, no spans: same contract
 
 
+def test_dedup_against_ingest(spark):
+    """Ingest dedup: rows matching OLD content are dropped regardless of
+    id; genuinely new rows pass; within-batch duplicates are untouched
+    (both kept); old frame is never mutated."""
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha beta"),   # dup of old 1 -> dropped
+         (11, "delta"),        # new -> kept
+         (12, "delta"),        # within-batch dup -> ALSO kept (documented)
+         (13, "gamma"),        # dup of old 2 -> dropped
+         (14, "epsilon")],     # new -> kept
+        "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in
+                 dedup.dedup_against(new, old).collect())
+    assert got == [11, 12, 14]
+    assert old.count() == 2
+
+
 def test_ngram_novelty_planted(spark):
     """Novelty = first-occurrence fraction in (doc, pos) corpus order:
     a fresh doc scores 1.0, an exact duplicate of an earlier doc scores
