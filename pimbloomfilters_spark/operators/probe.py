@@ -20,27 +20,44 @@ the deserialized sketch keyed by a driver-assigned token.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
-from itertools import count
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..sketches import Sketch, sketch_from_bytes
 
-_TOKENS = count(1)
 _WORKER_CACHE: dict[str, Sketch] = {}
+# (applicationId, name) pairs already registered via addFile — a sketch is
+# CONTENT-addressed (name = blake2b of its bytes), so probing the same
+# filter twice ships nothing and hits the per-worker deserialized cache.
+# Before this, every probe call re-shipped and every worker re-read +
+# re-deserialized the full filter (16 MiB x 32 workers per call at the
+# bench geometry) even when the filter had not changed.
+_SHIPPED: set[tuple[str, str]] = set()
 
 
 def ship_sketch(spark, sketch: Sketch) -> str:
-    """Write the sketch to a uniquely-named file and register it with
-    ``sc.addFile``; returns the basename workers resolve via SparkFiles."""
-    name = f"pbf_sketch_{os.getpid()}_{next(_TOKENS)}.bin"
+    """Register the sketch bytes with ``sc.addFile`` under a content-hash
+    name; returns the basename workers resolve via SparkFiles. Mutating a
+    sketch changes its bytes, hence its name — stale reuse is impossible."""
+    raw = sketch.to_bytes()
+    name = f"pbf_sketch_{hashlib.blake2b(raw, digest_size=16).hexdigest()}.bin"
+    key = (spark.sparkContext.applicationId, name)
+    if key in _SHIPPED:
+        return name
     path = os.path.join(tempfile.gettempdir(), name)
-    with open(path, "wb") as f:
-        f.write(sketch.to_bytes())
+    if not os.path.exists(path):
+        # atomic publish: another process writing the same content races
+        # benignly; a partial write is never visible under the final name
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, path)
     spark.sparkContext.addFile(path)
+    _SHIPPED.add(key)
     return name
 
 

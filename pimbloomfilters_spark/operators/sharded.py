@@ -70,16 +70,31 @@ def build_bloom_shards(
     seed: int = 42,
     block_bits: int = BLOCK_BITS,
     n_shards: int = 64,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """DataFrame[shard int, sketch binary, n_values long]: one disjoint
     bit-range sub-filter per shard. Requires n_shards <= m/block_bits so shard
-    boundaries are block-aligned."""
+    boundaries are block-aligned.
+
+    ``n_partitions`` decouples the exchange width from the shard count:
+    partitioning is a pure hash of the shard id, so every shard still has
+    exactly ONE writer task whatever the partition count — a task simply
+    owns several disjoint sub-filters (the reference's rank owning several
+    DPUs). Default = the session's default parallelism (capped at
+    n_shards): measured 2x faster than one-task-per-shard at 10M keys /
+    local[32], because tiny reduce tasks are pure scheduling + Python
+    worker-batch overhead (guide §2.2: fewer, larger reduce partitions).
+    Per-task memory is bounded by (n_shards / n_partitions) x shard bytes
+    = m/8/n_partitions — raise n_partitions for very large m."""
     _check_routable_seed(seed)
     m_bits = 1 << size2
     if n_shards & (n_shards - 1):
         raise ValueError("n_shards must be a power of two")
     if m_bits // min(block_bits, m_bits) < n_shards:
         raise ValueError("n_shards must be <= number of blocks (m/block_bits)")
+    if n_partitions is None:
+        n_partitions = max(1, min(
+            n_shards, df.sparkSession.sparkContext.defaultParallelism))
     shard_bits = int(math.log2(n_shards))
     shard_size_bits = m_bits // n_shards
 
@@ -122,16 +137,15 @@ def build_bloom_shards(
         # mis-route vs the numpy 8-byte hash; build correctness is unaffected
         # since shards are recomputed from numpy positions, but mis-routing
         # costs locality: one partition emitting many shard bitmaps)
-        elem = df.select(F.explode(F.col(col)).alias("_e")).select(
-            F.col("_e").cast("long").alias("_v"))
-        keyed = elem.withColumn("_shard", _shard_expr("_v", shard_bits))
-        src, vcol = keyed, "_v"
+        src = df.select(F.explode(F.col(col)).alias("_e")).select(
+            F.col("_e").cast("long").alias(col))
     else:
-        src = df.select(F.col(col).cast("long").alias(col)).withColumn(
-            "_shard", _shard_expr(col, shard_bits))
-        vcol = col
-    parts = src.repartition(n_shards, "_shard")
-    return parts.select(F.col(vcol).alias(col)).mapInArrow(_build, schema=SHARD_SCHEMA)
+        src = df.select(F.col(col).cast("long").alias(col))
+    # repartition by the shard EXPRESSION (not a materialized column): the
+    # exchange then carries ONLY the 8-byte key — half the shuffle bytes of
+    # the old (key, shard) row (guide §2.3: project before the exchange)
+    parts = src.repartition(n_partitions, _shard_expr(col, shard_bits))
+    return parts.mapInArrow(_build, schema=SHARD_SCHEMA)
 
 
 def assemble_bloom(shards_rows, size2: int, nb_hash: int, seed: int = 42,
@@ -151,9 +165,12 @@ def assemble_bloom(shards_rows, size2: int, nb_hash: int, seed: int = 42,
 
 def build_bloom_sharded(df: DataFrame, col: str, size2: int, nb_hash: int,
                         seed: int = 42, block_bits: int = BLOCK_BITS,
-                        n_shards: int = 64) -> BlockedBloomFilter:
-    rows = build_bloom_shards(df, col, size2, nb_hash, seed, block_bits,
-                              n_shards).collect()
+                        n_shards: int = 64,
+                        n_partitions: int | None = None) -> BlockedBloomFilter:
+    from .build import collect_rows
+
+    rows = collect_rows(build_bloom_shards(
+        df, col, size2, nb_hash, seed, block_bits, n_shards, n_partitions))
     return assemble_bloom(rows, size2, nb_hash, seed, block_bits, n_shards)
 
 

@@ -205,14 +205,52 @@ class BlockedBloomFilter(Sketch):
             "blocked": self.blocked,
         }
 
+    # Payload wire form, self-describing by LENGTH (dense is exactly m/8
+    # bytes; sparse is 1 + 4n or 1 + 8n, never equal to a power of two >= 2):
+    #   raw m/8 word bytes                      dense (legacy form)
+    #   b'S' + uint32[n] set-bit positions      sparse, size2 <= 32
+    #   b'T' + uint64[n] set-bit positions      sparse, size2 > 32
+    # Sparse is chosen automatically when smaller (fill < ~1/128). The win
+    # is the partial-merge traffic: a build task that saw few keys ships KBs
+    # instead of the full m/8 bytes — at the gated 2^24-bit geometry a
+    # 32-partition build over small inputs moved 64 MB of mostly-zero
+    # bitmaps to the driver before this (same motivation as the HLL sparse
+    # form above; guide §2.3, shuffle/collect fewer bytes).
     def payload(self) -> bytes:
+        wi = np.flatnonzero(self._words)
+        if hasattr(np, "bitwise_count"):
+            nbits = int(np.bitwise_count(self._words[wi]).sum())
+        else:  # pragma: no cover — numpy < 2
+            nbits = int(np.unpackbits(
+                self._words[wi].view(np.uint8)).sum(dtype=np.int64))
+        width = 4 if self.size2 <= 32 else 8
+        if 1 + width * nbits < self.m_bits // 8:
+            bits = np.unpackbits(
+                self._words[wi].view(np.uint8),
+                bitorder="little").reshape(-1, 64)
+            rows, cols = np.nonzero(bits)
+            pos = wi[rows] * 64 + cols
+            if width == 4:
+                return b"S" + pos.astype(np.uint32).tobytes()
+            return b"T" + pos.astype(np.uint64).tobytes()
         return self._words.tobytes()
 
     def _load_payload(self, raw: bytes) -> None:
-        arr = np.frombuffer(raw, dtype=np.uint64)
-        if arr.shape != self._words.shape:
+        n_bytes = self._words.size * 8
+        if len(raw) == n_bytes:
+            arr = np.frombuffer(raw, dtype=np.uint64)
+            self._words = arr.copy()
+            return
+        tag = raw[:1]
+        if tag not in (b"S", b"T"):
             raise ValueError("payload size mismatch for bloom geometry")
-        self._words = arr.copy()
+        dt = np.uint32 if tag == b"S" else np.uint64
+        pos = np.frombuffer(raw, dtype=dt, offset=1).astype(np.uint64)
+        if pos.size and int(pos.max()) >= self.m_bits:
+            raise ValueError("sparse bloom payload position out of range")
+        words = np.zeros(self._words.size, dtype=np.uint64)
+        scatter_or_bits(words, pos)
+        self._words = words
 
     @classmethod
     def _from_config(cls, cfg: dict[str, Any]) -> "BlockedBloomFilter":

@@ -143,11 +143,20 @@ class CountingBloomFilter(Sketch):
 
     def merge(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
         self._check_mergeable(other)
-        summed = self._counters.astype(np.int32) + other._counters
-        if summed.max() > np.iinfo(np.uint16).max:
-            raise OverflowError(
-                "counting-bloom cell exceeded uint16 on merge; grow size2")
-        self._counters = summed.astype(np.uint16)
+        # touch only the other side's nonzero cells: a partial built from a
+        # slice of the corpus is mostly zeros, and the old whole-array
+        # int32 upcast allocated + scanned 3x m per merge (measured: the
+        # driver fold of a 32-partial distributed build spent seconds in
+        # pure merge arithmetic at size2=24). The overflow check on just
+        # the touched cells is exactly as strong.
+        nz = np.flatnonzero(other._counters)
+        if nz.size:
+            summed = (self._counters[nz].astype(np.int32)
+                      + other._counters[nz])
+            if summed.max() > np.iinfo(np.uint16).max:
+                raise OverflowError(
+                    "counting-bloom cell exceeded uint16 on merge; grow size2")
+            self._counters[nz] = summed.astype(np.uint16)
         self.n_items += other.n_items
         return self
 
@@ -156,15 +165,42 @@ class CountingBloomFilter(Sketch):
                 "seed": self.seed, "block_bits": self.block_bits,
                 "blocked": self.blocked}
 
+    # Payload wire form, self-describing by LENGTH (dense is exactly
+    # 8 + 2m bytes; sparse 9 + 6n can never equal it: 8 + 2m ≡ 0 (mod 2),
+    # 9 + 6n ≡ 1 (mod 2)):
+    #   int64 n_items + uint16[m] cells                      dense (legacy)
+    #   b'S' + int64 n_items + uint32[n] idx + uint16[n] cnt sparse
+    # Sparse when smaller (< ~1/3 of cells nonzero). A distributed-build
+    # partial at the gated 2^24-cell geometry is 32 MiB dense; a partial
+    # that saw 10k keys is ~0.5 MB sparse — the driver fold traffic of
+    # counting_bloom_delete dropped ~50x (guide §2.3).
     def payload(self) -> bytes:
+        m = 1 << self.size2
+        nz = np.flatnonzero(self._counters)
+        if 9 + 6 * nz.size < 8 + 2 * m and self.size2 <= 32:
+            return (b"S" + np.int64(self.n_items).tobytes()
+                    + nz.astype(np.uint32).tobytes()
+                    + self._counters[nz].tobytes())
         return np.int64(self.n_items).tobytes() + self._counters.tobytes()
 
     def _load_payload(self, raw: bytes) -> None:
-        self.n_items = int(np.frombuffer(raw[:8], dtype=np.int64)[0])
-        arr = np.frombuffer(raw[8:], dtype=np.uint16)
-        if arr.size != 1 << self.size2:
+        m = 1 << self.size2
+        if len(raw) == 8 + 2 * m:
+            self.n_items = int(np.frombuffer(raw[:8], dtype=np.int64)[0])
+            self._counters = np.frombuffer(raw[8:], dtype=np.uint16).copy()
+            return
+        if raw[:1] != b"S" or (len(raw) - 9) % 6:
             raise ValueError("payload size mismatch for countingbloom geometry")
-        self._counters = arr.copy()
+        n = (len(raw) - 9) // 6
+        self.n_items = int(np.frombuffer(raw, dtype=np.int64,
+                                         count=1, offset=1)[0])
+        idx = np.frombuffer(raw, dtype=np.uint32, count=n, offset=9)
+        cnt = np.frombuffer(raw, dtype=np.uint16, count=n, offset=9 + 4 * n)
+        if n and int(idx.max()) >= m:
+            raise ValueError("sparse countingbloom payload index out of range")
+        counters = np.zeros(m, dtype=np.uint16)
+        counters[idx.astype(np.int64)] = cnt
+        self._counters = counters
 
     @classmethod
     def _from_config(cls, cfg: dict[str, Any]) -> "CountingBloomFilter":
