@@ -176,13 +176,14 @@ FROM per_sess GROUP BY user_id
 
 def q_session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-verifies the STREAMING sessionizer against the batch SQL
-    contract: the events table is replayed as a 2-micro-batch file stream
+    contract: the events table is replayed as an availableNow file stream
     through ``session_stream`` (per-user GroupState, watermark-final
     emission), a far-future sentinel event advances the watermark past
     every real session, and the closed sessions aggregate to exactly the
     ``user_sessions`` shape — so the oracle IS the batch sessionization
-    SQL. The pytest parity suite asserts bit-exact equality per session;
-    this gate puts the same contract behind a driver row."""
+    SQL. The pytest parity suite asserts bit-exact equality per session
+    (including multi-batch replays); this gate puts the same contract
+    behind a driver row."""
     import tempfile
     import uuid
 
@@ -193,17 +194,23 @@ def q_session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"))
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     base = tempfile.mkdtemp(prefix="pbf_sessgate_")
-    # two files -> two micro-batches; the sentinel (user -1, far future)
-    # rides in the second so the final watermark closes every session
-    ev.coalesce(1).write.mode("append").parquet(base)
-    spark.createDataFrame([(-1,)], "user_id long").select(
+    # ONE parallel write of events + the far-future sentinel (user -1):
+    # the old shape was two coalesce(1) writes (a single task funnelling
+    # the whole table, ~4.6 s of the gate at sf0.1) to force the sentinel
+    # into a second micro-batch. That is unnecessary: with everything in
+    # one availableNow data batch, the batch's own max event time advances
+    # the watermark past every real session, and the trailing no-data
+    # micro-batch (event-time timeouts) emits exactly the same closed
+    # session set — emission depends only on the final watermark, not on
+    # batch boundaries (the operator's documented finality rule).
+    sentinel = spark.createDataFrame([(-1,)], "user_id long").select(
         "user_id",
         (F.lit(max_ts).cast("timestamp") +
-         F.expr("INTERVAL 30 DAYS")).alias("ts")
-    ).coalesce(1).write.mode("append").parquet(base)
+         F.expr("INTERVAL 30 DAYS")).alias("ts"))
+    ev.unionByName(sentinel).write.mode("append").parquet(base)
 
     stream = (spark.readStream.schema("user_id long, ts timestamp")
-              .option("maxFilesPerTrigger", 1).parquet(base))
+              .parquet(base))
     out = session_stream(stream, "ts", "user_id", gap="30 minutes",
                          watermark="1 minute")
     qname = "sessgate_" + uuid.uuid4().hex[:10]
