@@ -983,14 +983,20 @@ def dedup_against(df_new: DataFrame, df_old: DataFrame,
     Scale shape — the ANTI-join complement of
     ``operators.joins.bloom_runtime_filter_join``: a Bloom filter of the
     old corpus's xxhash64 content hashes (KB-MB, built once per ingest,
-    mergeable partials) screens the new batch in a stateless map. The
-    no-false-negative guarantee makes bloom-NEGATIVE rows PROVABLY new —
-    they pass with ZERO join work, and at ingest most rows are new, so the
-    exact verification join (on the text itself, so 64-bit hash collisions
-    cannot drop a genuinely-new row) runs over only the bloom-positive
-    sliver. Output is EXACT at any filter geometry/FPR; geometry only
-    moves the prune rate. Reference analogue: the contains->insert
-    screening loop of the reference's membership use
+    mergeable partials — duplicates are free to a Bloom build, so the old
+    side is never distinct-shuffled) screens the new batch in a stateless
+    map. The no-false-negative guarantee makes bloom-NEGATIVE rows
+    PROVABLY new — they pass with ZERO join work, and at ingest most rows
+    are new, so only the bloom-positive sliver reaches the verify stage.
+    The verify is hash-keyed with text confirmation INSIDE equal-hash
+    pairs: the old side is first semi-joined down to the sliver's hash
+    set on the 8-byte key (so the only old text that ever moves belongs
+    to hash-colliding candidates — true duplicates plus a ~2^-64-rate
+    accident), then the anti-join condition is (hash equal AND text
+    equal), so a 64-bit collision between DIFFERENT texts cannot drop a
+    genuinely-new row. Output is EXACT at any filter geometry/FPR;
+    geometry only moves the prune rate. Reference analogue: the
+    contains->insert screening loop of the reference's membership use
     (src/bloom_filter.hpp:40-76), lifted to corpus ingest."""
     import functools
 
@@ -998,16 +1004,23 @@ def dedup_against(df_new: DataFrame, df_old: DataFrame,
     from ..operators.probe import probe_key_column
     from ..sketches import make_sketch
 
-    old_h = df_old.select(F.xxhash64(text_col).alias("_h")).distinct()
+    old_h = df_old.select(F.xxhash64(text_col).alias("_h"))
     bf, _ = build_sketch(
         old_h, "_h",
         functools.partial(make_sketch, "bloom", size2=size2, nb_hash=nb_hash))
     flagged = probe_key_column(
         df_new.withColumn("_h", F.xxhash64(text_col)), bf, "_h")
     fresh = flagged.filter(~F.col("member"))
-    survivors = (flagged.filter(F.col("member"))
-                 .join(df_old.select(F.col(text_col).alias("_t")).distinct(),
-                       F.col(text_col) == F.col("_t"), "left_anti"))
+    positives = flagged.filter(F.col("member"))
+    old_keyed = df_old.select(F.xxhash64(text_col).alias("_oh"),
+                              F.col(text_col).alias("_t"))
+    colliding = old_keyed.join(
+        positives.select(F.col("_h").alias("_oh")).distinct(),
+        "_oh", "left_semi")
+    survivors = positives.join(
+        colliding,
+        (F.col("_h") == F.col("_oh")) & (F.col(text_col) == F.col("_t")),
+        "left_anti")
     return fresh.unionByName(survivors).drop("_h", "member")
 
 

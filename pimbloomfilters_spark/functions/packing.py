@@ -183,7 +183,8 @@ def packing_stats(df: DataFrame, ctx_len: int,
 
 def length_buckets(df: DataFrame, n_buckets: int,
                    n_tok_col: str = "n_tok",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   split_threshold: int = 2_000_000) -> DataFrame:
     """Adds ``bucket`` (1-based): equal-size sequence-LENGTH buckets in
     (n_tok, id) order — the length-bucketed batching stage of a training
     pipeline (group similar-length sequences so per-batch padding waste is
@@ -201,27 +202,92 @@ def length_buckets(df: DataFrame, n_buckets: int,
     distinct lengths — bounded by the context-length ceiling, collected
     and broadcast) lifts local ranks to global. ntile() itself would plan
     a SinglePartition exchange at any corpus size. Reference analogue:
-    none (SURVEY §2.4 — the reference has no corpus ops)."""
+    none (SURVEY §2.4 — the reference has no corpus ops).
+
+    Hot-length de-skew (round-6 verdict #3): a post-truncation corpus can
+    put most rows at ONE length, which would rank that length in a single
+    window task. Lengths with more than ``split_threshold`` rows (and an
+    integral id column) are therefore sub-split into equal id-RANGE
+    sub-groups — monotone in the (length, id) sort order, so the global
+    rank stays EXACT: rank = length offset + sub-range offset (from one
+    extra aggregate over only the hot lengths) + in-sub-range rank. The
+    default threshold keeps a window-sort task under ~2M rows; non-integral
+    id columns fall back to one window per length (skew bound = largest
+    length group — document or pre-map ids when that matters).
+
+    Determinism contract (shared with ``epoch_shuffle``): the input must be
+    deterministic — counts/ranges are collected in one job and the plan
+    re-evaluates for ranking; persist nondeterministic inputs first."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    if split_threshold < 1:
+        raise ValueError("split_threshold must be >= 1")
     spark = df.sparkSession
     # NULL lengths are dropped (ntile over a NULL sort key would order them
     # engine-specifically; and the Python offset sort below cannot compare
     # None) — same explicit-NULL policy as epoch_shuffle.
     df = df.filter(F.col(n_tok_col).isNotNull())
-    sizes = sorted((r["_l"], r["cnt"]) for r in
-                   df.select(F.col(n_tok_col).alias("_l"))
-                   .groupBy("_l").agg(F.count("*").alias("cnt")).collect())
-    offsets, acc = [], 0
-    for length, cnt in sizes:
-        offsets.append((length, acc))
-        acc += cnt
-    total = acc
+    id_integral = dict(df.dtypes)[id_col] in (
+        "tinyint", "smallint", "int", "bigint")
+    sizes = sorted(
+        (r["_l"], r["cnt"], r["_mn"], r["_mx"]) for r in
+        df.select(F.col(n_tok_col).alias("_l"), F.col(id_col).alias("_id"))
+        .groupBy("_l").agg(
+            F.count("*").alias("cnt"),
+            (F.min("_id") if id_integral else F.lit(None)).alias("_mn"),
+            (F.max("_id") if id_integral else F.lit(None)).alias("_mx"),
+        ).collect())
+    total = sum(cnt for _, cnt, _, _ in sizes)
     if total == 0:
         return df.withColumn("bucket", F.lit(None).cast("int"))
-    off = F.broadcast(spark.createDataFrame(offsets, "_l long, _off long"))
-    local = F.row_number().over(
-        Window.partitionBy(n_tok_col).orderBy(id_col))
+    hot = {length: (int(mn), int(mx), cnt)
+           for length, cnt, mn, mx in sizes
+           if id_integral and cnt > split_threshold and mx > mn}
+    if hot:
+        # per hot length: equal id-range sub-groups (monotone in id), with
+        # EXACT per-(length, sub) counts from one aggregate over only the
+        # hot lengths; cold lengths keep sub = 0
+        meta = [(length, mn,
+                 -(-(mx - mn + 1) // min(-(-cnt // split_threshold), 65536)))
+                for length, (mn, mx, cnt) in hot.items()]
+        mdf = F.broadcast(spark.createDataFrame(
+            meta, "_l long, _hmn long, _step long"))
+        sub_expr = F.coalesce(
+            F.expr(f"(CAST({id_col} AS BIGINT) - _hmn) div _step"), F.lit(0))
+        keyed = (df.withColumn("_l", F.col(n_tok_col).cast("long"))
+                 .join(mdf, "_l", "left")
+                 .withColumn("_sub", sub_expr))
+        sub_sizes = {
+            (r["_l"], r["_s"]): r["cnt"] for r in
+            keyed.filter(F.col("_hmn").isNotNull())
+            .groupBy(F.col("_l"), F.col("_sub").alias("_s"))
+            .agg(F.count("*").alias("cnt")).collect()}
+        offsets, acc = [], 0
+        for length, cnt, _, _ in sizes:
+            if length in hot:
+                for (hl, s), c in sorted(
+                        kv for kv in sub_sizes.items() if kv[0][0] == length):
+                    offsets.append((hl, int(s), acc))
+                    acc += c
+            else:
+                offsets.append((length, 0, acc))
+                acc += cnt
+        off = F.broadcast(spark.createDataFrame(
+            offsets, "_l long, _sub long, _off long"))
+        base = keyed.drop("_hmn", "_step")
+        local = F.row_number().over(
+            Window.partitionBy(n_tok_col, "_sub").orderBy(id_col))
+        join_keys = ["_l", "_sub"]
+    else:
+        offsets, acc = [], 0
+        for length, cnt, _, _ in sizes:
+            offsets.append((length, acc))
+            acc += cnt
+        off = F.broadcast(spark.createDataFrame(offsets, "_l long, _off long"))
+        base = df.withColumn("_l", F.col(n_tok_col).cast("long"))
+        local = F.row_number().over(
+            Window.partitionBy(n_tok_col).orderBy(id_col))
+        join_keys = ["_l"]
     # exact ntile arithmetic (integer div only) from the 1-based global rank
     small = max(total // n_buckets, 1)    # rows per tail bucket
     big = total // n_buckets + 1          # rows in each of the first `rem`
@@ -230,8 +296,7 @@ def length_buckets(df: DataFrame, n_buckets: int,
     bucket = F.expr(
         f"CAST(IF(_rank <= {cut}, (_rank - 1) div {big},"
         f" {rem} + (_rank - 1 - {cut}) div {small}) + 1 AS INT)")
-    return (df.withColumn("_l", F.col(n_tok_col).cast("long"))
-            .join(off, "_l")
+    return (base.join(off, join_keys)
             .withColumn("_rank", (F.col("_off") + local).cast("long"))
             .withColumn("bucket", bucket)
-            .drop("_l", "_off", "_rank"))
+            .drop("_l", "_sub", "_off", "_rank"))

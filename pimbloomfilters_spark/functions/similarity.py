@@ -690,6 +690,20 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     once); the search scan emits per-partition local top-k per query (same
     map-side-combine shape as ``pq_topk``). Pass ``centroids`` /
     ``codebooks`` to reuse trained quantizers (train-once/query-many)."""
+    if centroids is None and codebooks is None:
+        # the two trainers are independent Lloyd loops over the same input;
+        # overlap their per-iteration jobs from two driver threads so the
+        # tail of one iteration back-fills the other's tasks (actions are
+        # only sequential because driver code calls them sequentially) —
+        # trained values are identical to the sequential order
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(ivf_centroids, df, vec_col, id_col,
+                             n_centroids, iters)
+            fb = pool.submit(pq_codebooks, df, vec_col, id_col, m,
+                             n_codes, iters)
+            centroids, codebooks = fc.result(), fb.result()
     if centroids is None:
         centroids = ivf_centroids(df, vec_col, id_col, n_centroids, iters)
     if codebooks is None:

@@ -118,7 +118,7 @@ def hash_split(df: DataFrame, fractions: dict, key_col: str,
 
 
 def epoch_shuffle(df: DataFrame, key_col: str, seed: int = 0,
-                  n_shards: int = 8) -> DataFrame:
+                  n_shards: int = 8, n_buckets: int = 4096) -> DataFrame:
     """Deterministic global training order — the epoch-shuffle stage of a
     training-data pipeline: every row gets a global position in the order
     ``md5(seed || '|' || key)`` (ties broken by key, so positions are
@@ -133,16 +133,33 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: int = 0,
 
     Scale shape: global rank WITHOUT a single-task window and WITHOUT
     data-dependent partitioning — the same construction as the vocabulary
-    ranker (``sources.tables.vocab_table``): rows bucket by the first two
-    hex chars of the md5 (a pure, deterministic function of the row,
-    monotone under the hash ordering — ``repartitionByRange``'s re-sampled
-    bounds would NOT be stable across evaluations), each bucket is
-    window-ranked in parallel, and the exclusive prefix sum of the 256
-    bucket counts (one tiny aggregate, broadcast back) lifts local ranks to
-    global positions. md5 uniformity bounds bucket skew at ~n/256 ± noise.
-    One exchange (hash-partition by bucket) + one count aggregate."""
+    ranker (``sources.tables.vocab_table``): rows bucket by a hex PREFIX
+    of the md5 (a pure, deterministic function of the row, monotone under
+    the hash ordering — ``repartitionByRange``'s re-sampled bounds would
+    NOT be stable across evaluations), each bucket is window-ranked in
+    parallel, and the exclusive prefix sum of the bucket counts (one tiny
+    aggregate, broadcast back) lifts local ranks to global positions.
+    ``n_buckets`` (a power of 16: 16 / 256 / 4096 / 65536, i.e. the hex
+    prefix width; default 4096) is the parallelism dial: md5 uniformity
+    bounds per-bucket rows at ~n/n_buckets ± noise, so at 10^12 rows the
+    default keeps each window-sort task at ~2.4e8 rows instead of the
+    fixed-256 shape's 4e9-row straggler (round-6 verdict #2); positions
+    are bucket-count-INVARIANT by construction (pos = global (hash, key)
+    rank), so the dial never changes results. One exchange
+    (hash-partition by bucket) + one count aggregate.
+
+    Determinism contract: the INPUT must be deterministic (no fresh
+    rand()/uuid()/current-time columns) — bucket counts are collected in
+    one job and the plan re-evaluates for ranking; a nondeterministic
+    input can disagree between the two evaluations and corrupt positions.
+    Same contract as the NULL/unique-key rules above; persist such inputs
+    first."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if n_buckets not in (16, 256, 4096, 65536):
+        raise ValueError("n_buckets must be one of 16, 256, 4096, 65536 "
+                         "(a whole hex-prefix width)")
+    prefix_w = {16: 1, 256: 2, 4096: 3, 65536: 4}[n_buckets]
     spark = df.sparkSession
     # NULL keys are dropped: they would all share one md5 (concat_ws skips
     # nulls), making their relative order — and therefore pos — depend on
@@ -150,9 +167,10 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: int = 0,
     # tie in (hash, key) and their pos assignment is arbitrary between them.
     df = df.filter(F.col(key_col).isNotNull())
     h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string")))
-    # first two hex chars: 256 buckets, monotone in the hash's string order
-    bkt = (F.ascii(F.substring("_h", 1, 1)) * 256
-           + F.ascii(F.substring("_h", 2, 1))).alias("_bkt")
+    # hex prefix -> integer: monotone in the hash's string order ('0'-'9'
+    # sort before 'a'-'f' in ASCII and conv preserves that order)
+    bkt = F.conv(F.substring("_h", 1, prefix_w), 16, 10) \
+        .cast("long").alias("_bkt")
     base = df.withColumn("_h", h).withColumn("_bkt", bkt)
     sizes = sorted(
         (r["_bkt"], r["cnt"]) for r in
