@@ -144,8 +144,10 @@ def build_with_checkpoint(
     if fail_after_bucket is not None:
         raise RuntimeError(f"injected failure after bucket {fail_after_bucket}")
 
+    from .build import collect_rows
+
     cp = spark.read.parquet(checkpoint_dir).filter(F.col("build_id") == build_id)
-    rows = cp.collect()
+    rows = collect_rows(cp)
     rows.sort(key=lambda r: r["bucket"])
     seen: set[int] = set()
     sk = None
