@@ -75,28 +75,18 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # explode+vocab join six times. Release with ``unpersist_tokens`` when done
 # (a long-lived service would otherwise hold the persisted RDD forever).
 _TOK_CACHE: dict[tuple[str, str], DataFrame] = {}
-# same lifecycle for the GROUPED form: ~23 gate call sites consume
-# ``token_table``, and each evaluation otherwise re-runs the
-# groupBy+collect_list+array_sort shuffle from the exploded cache (dozens
-# of re-derivations per catalog run). The grouped frame is strictly
-# smaller than the exploded cache (one row per doc vs one per token).
-_TT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def unpersist_tokens(spark: SparkSession, sf_dir: str | None = None) -> int:
     """Unpersist + drop the session's cached token tables (all sf_dirs, or
-    just one; both the exploded and grouped forms). Returns the number of
-    entries released. Call from batch-runner teardown; safe to call
-    repeatedly."""
+    just one). Returns the number of entries released. Call from batch-runner
+    teardown; safe to call repeatedly."""
     app = spark.sparkContext.applicationId
-    released = 0
-    for cache in (_TOK_CACHE, _TT_CACHE):
-        keys = [k for k in cache
-                if k[0] == app and (sf_dir is None or k[1] == sf_dir)]
-        for k in keys:
-            cache.pop(k).unpersist()
-        released += len(keys)
-    return released
+    keys = [k for k in _TOK_CACHE
+            if k[0] == app and (sf_dir is None or k[1] == sf_dir)]
+    for k in keys:
+        _TOK_CACHE.pop(k).unpersist()
+    return len(keys)
 
 
 def tokens_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,15 +111,9 @@ def tokens_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The input_hint table: (doc_id, tokens array<int>, n_tok int, source).
-    Persisted per (session, sf_dir) like ``tokens_exploded`` — released by
-    the same ``unpersist_tokens``."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _TT_CACHE.get(key)
-    if cached is not None:
-        return cached
+    """The input_hint table: (doc_id, tokens array<int>, n_tok int, source)."""
     tok = tokens_exploded(spark, sf_dir)
-    out = (
+    return (
         tok.groupBy("doc_id", "source")
         .agg(
             F.transform(
@@ -142,9 +126,7 @@ def token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string").alias("doc_id"),
             "tokens", "n_tok", "source",
         )
-    ).persist()
-    _TT_CACHE[key] = out
-    return out
+    )
 
 
 # DuckDB CTE producing the identical (doc_id, source, pos, token_id) rows —
