@@ -748,18 +748,22 @@ def session_stream(
     def _update(key, pdfs, state: GroupState):
         (user,) = key
         wm = state.getCurrentWatermarkMs()
-        items = []
         if state.exists:
-            starts, lasts, ns = state.get
-            items += [(int(s), int(e), int(c))
-                      for s, e, c in zip(starts, lasts, ns)]
+            st_s, st_e, st_c = state.get
+            s = np.asarray(st_s, dtype=np.int64)
+            e = np.asarray(st_e, dtype=np.int64)
+            c = np.asarray(st_c, dtype=np.int64)
+        else:
+            s = e = c = np.empty(0, dtype=np.int64)
         if not state.hasTimedOut:
-            ts = np.sort(np.concatenate([
+            ts = np.concatenate([
                 pdf["_ts"].to_numpy(dtype="datetime64[ms]").astype(np.int64)
                 for pdf in pdfs
-            ]))
-            items += [(int(t), int(t), 1) for t in ts.tolist()]
-        if not items:
+            ])
+            s = np.concatenate([s, ts])
+            e = np.concatenate([e, ts])
+            c = np.concatenate([c, np.ones(ts.size, dtype=np.int64)])
+        if s.size == 0:
             state.remove()
             return
         # Sessionize stored sessions (atoms — internal gaps <= gap by
@@ -768,33 +772,39 @@ def session_stream(
         # session joins it only when within `gap`; further away it forms
         # its own earlier session, which stays in STATE (not emitted) so a
         # later admissible event can still bridge it.
-        items.sort()
-        merged = [list(items[0])]
-        for s, e, c in items[1:]:
-            if s - merged[-1][1] <= gap_ms:
-                merged[-1][1] = max(merged[-1][1], e)
-                merged[-1][2] += c
-            else:
-                merged.append([s, e, c])
+        # Vectorized gaps-and-islands (the old Python tuple sort + merge
+        # loop dominated addBatch at 10^5 events/batch): sort intervals by
+        # start; an interval opens a new session iff its start exceeds the
+        # running max end of everything before it by more than gap (tie
+        # order on equal starts cannot change the grouping: a same-start
+        # interval always lands in the open session).
+        order = np.argsort(s, kind="stable")
+        s, e, c = s[order], e[order], c[order]
+        cme = np.maximum.accumulate(e)  # running max end, inclusive
+        new_sess = np.empty(s.size, dtype=bool)
+        new_sess[0] = True
+        np.greater(s[1:] - cme[:-1], gap_ms, out=new_sess[1:])
+        heads = np.flatnonzero(new_sess)          # first index per session
+        tails = np.r_[heads[1:] - 1, s.size - 1]  # last index per session
+        m_s = s[heads]
+        m_e = cme[tails]
+        m_c = np.add.reduceat(c, heads)
         # ripe = untouchable by any future admissible event: an event t
         # extending/bridging [s, e] needs t <= e + gap, and Spark drops
         # t < watermark — so e + gap < wm means finality
-        ripe = [m for m in merged if m[1] + gap_ms < wm]
-        keep = [m for m in merged if m[1] + gap_ms >= wm]
-        if keep:
-            state.update(([s for s, _, _ in keep],
-                          [e for _, e, _ in keep],
-                          [c for _, _, c in keep]))
-            state.setTimeoutTimestamp(
-                max(min(e for _, e, _ in keep) + gap_ms, wm + 1))
-        else:
+        is_ripe = m_e + gap_ms < wm
+        if is_ripe.all():
             state.remove()
-        if ripe:
+        else:
+            k_s, k_e, k_c = m_s[~is_ripe], m_e[~is_ripe], m_c[~is_ripe]
+            state.update((k_s.tolist(), k_e.tolist(), k_c.tolist()))
+            state.setTimeoutTimestamp(max(int(k_e.min()) + gap_ms, wm + 1))
+        if is_ripe.any():
             yield pd.DataFrame({
-                "user_id": [user] * len(ripe),
-                "session_start": [_ts_out(s) for s, _, _ in ripe],
-                "session_end": [_ts_out(e) for _, e, _ in ripe],
-                "n_events": [c for _, _, c in ripe]})
+                "user_id": np.full(int(is_ripe.sum()), user, dtype=np.int64),
+                "session_start": pd.to_datetime(m_s[is_ripe], unit="ms"),
+                "session_end": pd.to_datetime(m_e[is_ripe], unit="ms"),
+                "n_events": m_c[is_ripe]})
 
     return src.groupBy("_u").applyInPandasWithState(
         _update,
